@@ -1,0 +1,497 @@
+"""GLM-ASR-Nano audio LLM, implemented TPU-first in functional JAX.
+
+Replaces the reference's HF `trust_remote_code` model + `model.generate`
+(reference: backend/asr.py:66-146, 407-422) with:
+
+- a Whisper-style audio encoder (2 convs with 2x time subsampling, sinusoidal
+  positions, pre-LN transformer),
+- the `audio_proj` adapter (frame stacking + 2-layer MLP),
+- a GLM-style decoder-only LM (RMSNorm, partial RoPE, GQA w/ QKV bias, SwiGLU,
+  tied embeddings),
+- an explicit persistent KV cache with separate `prefill` / `decode_step`
+  entry points so the continuous batcher can schedule them independently
+  (the reference's generate loop is monolithic and blocks the event loop,
+  SURVEY.md §3.3).
+
+Design notes for TPU/XLA:
+- layer parameters are STACKED on a leading axis and iterated with `lax.scan`
+  -> one compiled layer body regardless of depth (fast compiles, small HLO);
+- all shapes static; padding + length masks instead of dynamic shapes;
+- params/activations bf16, softmax/layernorm/logits accumulated in f32 so
+  greedy argmax is stable (token-exactness mitigation, SURVEY.md §7);
+- cache updates are donated in the engine's jitted wrappers (no copies).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonicscribe_tpu.models.config import AudioEncoderConfig, DecoderConfig, GlmAsrConfig
+
+Params = Dict[str, Any]
+Cache = Dict[str, jnp.ndarray]
+
+NEG_INF = -1e30
+
+
+# =====================================================================
+# Initialization
+# =====================================================================
+
+
+def _dense_init(key, shape, dtype=jnp.bfloat16, scale: float = 0.02):
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def init_params(cfg: GlmAsrConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
+    enc, dec = cfg.encoder, cfg.decoder
+    keys = iter(jax.random.split(key, 64))
+
+    d = enc.d_model
+    encoder = {
+        "conv1": {
+            "w": _dense_init(next(keys), (3, enc.n_mels, d), dtype),
+            "b": jnp.zeros((d,), dtype),
+        },
+        "conv2": {
+            "w": _dense_init(next(keys), (3, d, d), dtype),
+            "b": jnp.zeros((d,), dtype),
+        },
+        "layers": {
+            "ln1_scale": jnp.ones((enc.n_layers, d), dtype),
+            "ln1_bias": jnp.zeros((enc.n_layers, d), dtype),
+            "q_w": _dense_init(next(keys), (enc.n_layers, d, d), dtype),
+            "q_b": jnp.zeros((enc.n_layers, d), dtype),
+            "k_w": _dense_init(next(keys), (enc.n_layers, d, d), dtype),
+            "v_w": _dense_init(next(keys), (enc.n_layers, d, d), dtype),
+            "v_b": jnp.zeros((enc.n_layers, d), dtype),
+            "o_w": _dense_init(next(keys), (enc.n_layers, d, d), dtype),
+            "o_b": jnp.zeros((enc.n_layers, d), dtype),
+            "ln2_scale": jnp.ones((enc.n_layers, d), dtype),
+            "ln2_bias": jnp.zeros((enc.n_layers, d), dtype),
+            "fc1_w": _dense_init(next(keys), (enc.n_layers, d, enc.ffn_mult * d), dtype),
+            "fc1_b": jnp.zeros((enc.n_layers, enc.ffn_mult * d), dtype),
+            "fc2_w": _dense_init(next(keys), (enc.n_layers, enc.ffn_mult * d, d), dtype),
+            "fc2_b": jnp.zeros((enc.n_layers, d), dtype),
+        },
+        "ln_post_scale": jnp.ones((d,), dtype),
+        "ln_post_bias": jnp.zeros((d,), dtype),
+    }
+
+    stack_in = cfg.adapter_stack * d
+    adapter = {
+        "fc1": {
+            "w": _dense_init(next(keys), (stack_in, cfg.adapter_hidden), dtype),
+            "b": jnp.zeros((cfg.adapter_hidden,), dtype),
+        },
+        "fc2": {
+            "w": _dense_init(next(keys), (cfg.adapter_hidden, dec.d_model), dtype),
+            "b": jnp.zeros((dec.d_model,), dtype),
+        },
+    }
+
+    dd = dec.d_model
+    qkv_out = (dec.n_heads + 2 * dec.n_kv_heads) * dec.head_dim
+    decoder = {
+        "embed": _dense_init(next(keys), (dec.vocab_size, dd), dtype),
+        "layers": {
+            "ln1_scale": jnp.ones((dec.n_layers, dd), dtype),
+            "qkv_w": _dense_init(next(keys), (dec.n_layers, dd, qkv_out), dtype),
+            "qkv_b": jnp.zeros((dec.n_layers, qkv_out), dtype),
+            "o_w": _dense_init(
+                next(keys), (dec.n_layers, dec.n_heads * dec.head_dim, dd), dtype
+            ),
+            "ln2_scale": jnp.ones((dec.n_layers, dd), dtype),
+            "gate_up_w": _dense_init(
+                next(keys), (dec.n_layers, dd, 2 * dec.ffn_hidden), dtype
+            ),
+            "down_w": _dense_init(next(keys), (dec.n_layers, dec.ffn_hidden, dd), dtype),
+        },
+        "ln_f_scale": jnp.ones((dd,), dtype),
+    }
+    if not dec.tie_embeddings:
+        decoder["lm_head"] = _dense_init(next(keys), (dd, dec.vocab_size), dtype)
+
+    return {"encoder": encoder, "adapter": adapter, "decoder": decoder}
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+# =====================================================================
+# Shared primitives
+# =====================================================================
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rms_norm(x, scale, eps):
+    xf = x.astype(jnp.float32)
+    out = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (out * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper-style fixed sinusoidal positions [length, channels]."""
+    log_timescale = math.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    ang = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(ang), np.cos(ang)], axis=1).astype(np.float32)
+
+
+def _rope_tables(cfg: DecoderConfig, positions: jnp.ndarray):
+    """cos/sin tables for positions; rotary over the first
+    `head_dim * partial_rotary_factor` dims, NeoX half-split convention."""
+    rot = int(cfg.head_dim * cfg.partial_rotary_factor)
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, rot, 2, dtype=jnp.float32) / rot)
+    )
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., rot//2]
+    return jnp.cos(ang), jnp.sin(ang), rot
+
+
+def _apply_rope(x, cos, sin, rot):
+    """x: [..., H, head_dim]; cos/sin: [..., rot//2] broadcast over heads."""
+    x1 = x[..., : rot // 2].astype(jnp.float32)
+    x2 = x[..., rot // 2 : rot].astype(jnp.float32)
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    out1 = x1 * c - x2 * s
+    out2 = x2 * c + x1 * s
+    return jnp.concatenate(
+        [out1.astype(x.dtype), out2.astype(x.dtype), x[..., rot:]], axis=-1
+    )
+
+
+# =====================================================================
+# Audio encoder + adapter
+# =====================================================================
+
+
+def _conv1d(x, w, b, stride: int):
+    """x: [B, T, C_in], w: [K, C_in, C_out] -> [B, T', C_out], SAME padding."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _encoder_block(x, mask_bias, lp, n_heads: int):
+    """One pre-LN transformer block. x: [B, S, D]; mask_bias: [B, 1, 1, S]."""
+    B, S, D = x.shape
+    hd = D // n_heads
+
+    h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+    q = (h @ lp["q_w"] + lp["q_b"]).reshape(B, S, n_heads, hd)
+    k = (h @ lp["k_w"]).reshape(B, S, n_heads, hd)
+    v = (h @ lp["v_w"] + lp["v_b"]).reshape(B, S, n_heads, hd)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / math.sqrt(hd)) + mask_bias
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
+    x = x + ctx @ lp["o_w"] + lp["o_b"]
+
+    h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+    h = jax.nn.gelu(h @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
+    return x + h @ lp["fc2_w"] + lp["fc2_b"]
+
+
+def encode_audio(
+    params: Params,
+    cfg: GlmAsrConfig,
+    mel: jnp.ndarray,  # [B, T, n_mels], zero-padded
+    n_frames: jnp.ndarray,  # [B] true frame counts
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (audio_embeds [B, T // frames_per_audio_token, d_lm], n_tokens [B])."""
+    enc = cfg.encoder
+    p = params["encoder"]
+    B, T, _ = mel.shape
+
+    x = jax.nn.gelu(_conv1d(mel, p["conv1"]["w"], p["conv1"]["b"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, p["conv2"]["w"], p["conv2"]["b"], 2), approximate=False)
+    S = x.shape[1]  # T // 2
+
+    pos = jnp.asarray(_sinusoids(S, enc.d_model), x.dtype)
+    x = x + pos[None]
+
+    # padding mask over subsampled frames
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        < (jnp.ceil(n_frames / 2)).astype(jnp.int32)[:, None]
+    )
+    mask_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+
+    def body(h, lp):
+        return _encoder_block(h, mask_bias, lp, enc.n_heads), None
+
+    x, _ = jax.lax.scan(body, x, p["layers"])
+    x = _layer_norm(x, p["ln_post_scale"], p["ln_post_bias"])
+    x = jnp.where(valid[..., None], x, 0)
+
+    # adapter ("audio_proj"): stack k frames -> MLP -> LM space
+    k = cfg.adapter_stack
+    S_out = S // k
+    x = x[:, : S_out * k].reshape(B, S_out, k * enc.d_model)
+    a = params["adapter"]
+    x = jax.nn.gelu(x @ a["fc1"]["w"] + a["fc1"]["b"], approximate=False)
+    x = x @ a["fc2"]["w"] + a["fc2"]["b"]
+
+    n_tokens = jnp.maximum(n_frames // cfg.frames_per_audio_token, 1)
+    return x, n_tokens.astype(jnp.int32)
+
+
+# =====================================================================
+# Decoder: KV cache, prefill, decode step
+# =====================================================================
+
+
+def init_cache(
+    cfg: GlmAsrConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> Cache:
+    dec = cfg.decoder
+    shape = (dec.n_layers, batch, max_len, dec.n_kv_heads, dec.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "len": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+    return params["decoder"]["embed"][tokens]
+
+
+def _decoder_qkv(lp, h, dec: DecoderConfig):
+    B = h.shape[0]
+    lead = h.shape[:-1]
+    qkv = h @ lp["qkv_w"]
+    if dec.qkv_bias:
+        qkv = qkv + lp["qkv_b"]
+    nq = dec.n_heads * dec.head_dim
+    nkv = dec.n_kv_heads * dec.head_dim
+    q = qkv[..., :nq].reshape(*lead, dec.n_heads, dec.head_dim)
+    k = qkv[..., nq : nq + nkv].reshape(*lead, dec.n_kv_heads, dec.head_dim)
+    v = qkv[..., nq + nkv :].reshape(*lead, dec.n_kv_heads, dec.head_dim)
+    del B
+    return q, k, v
+
+
+def _gqa_scores(q, k):
+    """q: [B, Sq, nh, hd], k: [B, Sk, nkv, hd] -> scores [B, nkv, g, Sq, Sk] f32."""
+    B, Sq, nh, hd = q.shape
+    nkv = k.shape[2]
+    g = nh // nkv
+    qg = q.reshape(B, Sq, nkv, g, hd)
+    return jnp.einsum("bqkgd,bskd->bkgqs", qg, k, preferred_element_type=jnp.float32)
+
+
+def _gqa_context(attn, v):
+    """attn: [B, nkv, g, Sq, Sk] (dtype of v), v: [B, Sk, nkv, hd] -> [B, Sq, nh*hd]."""
+    B, nkv, g, Sq, _ = attn.shape
+    hd = v.shape[-1]
+    ctx = jnp.einsum("bkgqs,bskd->bqkgd", attn, v)
+    return ctx.reshape(B, Sq, nkv * g * hd)
+
+
+def _decoder_layer_prefill(x, lp, dec: DecoderConfig, cos, sin, rot, mask_bias):
+    """x: [B, S, D]; returns (x', (k_layer, v_layer)) for cache storage."""
+    h = _rms_norm(x, lp["ln1_scale"], dec.rms_eps)
+    q, k, v = _decoder_qkv(lp, h, dec)
+    q = _apply_rope(q, cos, sin, rot)
+    k = _apply_rope(k, cos, sin, rot)
+
+    scores = _gqa_scores(q, k) * (1.0 / math.sqrt(dec.head_dim))
+    scores = scores + mask_bias  # [B, 1, 1, S, S] broadcast
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = _gqa_context(attn, v)
+    x = x + ctx @ lp["o_w"]
+
+    h = _rms_norm(x, lp["ln2_scale"], dec.rms_eps)
+    gate_up = h @ lp["gate_up_w"]
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    x = x + (jax.nn.silu(gate) * up) @ lp["down_w"]
+    return x, (k, v)
+
+
+def _lm_logits(params: Params, cfg: GlmAsrConfig, h: jnp.ndarray) -> jnp.ndarray:
+    dec = cfg.decoder
+    h = _rms_norm(h, params["decoder"]["ln_f_scale"], dec.rms_eps)
+    if dec.tie_embeddings:
+        w = params["decoder"]["embed"].T
+    else:
+        w = params["decoder"]["lm_head"]
+    return jnp.einsum("...d,dv->...v", h, w, preferred_element_type=jnp.float32)
+
+
+def prefill(
+    params: Params,
+    cfg: GlmAsrConfig,
+    embeds: jnp.ndarray,  # [B, S, D] zero-padded prompt embeddings
+    length: jnp.ndarray,  # [B] true prompt lengths
+    cache: Cache,
+) -> Tuple[Cache, jnp.ndarray]:
+    """Run the prompt through the decoder, filling cache[:, :, :S].
+
+    Returns (cache, last_logits [B, V]) where last_logits is taken at the
+    final REAL position of each row (length-1), f32.
+    """
+    dec = cfg.decoder
+    B, S, _ = embeds.shape
+    positions = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    cos, sin, rot = _rope_tables(dec, positions)
+
+    # causal AND within true length
+    q_pos = positions[:, None, None, :, None]
+    k_pos = positions[:, None, None, None, :]
+    causal = k_pos <= q_pos
+    in_len = k_pos < length[:, None, None, None, None]
+    mask_bias = jnp.where(causal & in_len, 0.0, NEG_INF).astype(jnp.float32)
+
+    def body(h, lp):
+        h, kv = _decoder_layer_prefill(h, lp, dec, cos, sin, rot, mask_bias)
+        return h, kv
+
+    h, (ks, vs) = jax.lax.scan(body, embeds, params["decoder"]["layers"])
+    # ks: [L, B, S, nkv, hd] -> write into cache
+    max_len = cache["k"].shape[2]
+    pad = max_len - S
+    if pad < 0:
+        raise ValueError(f"prompt length {S} exceeds cache capacity {max_len}")
+    cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0)
+        ),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0, 0)
+        ),
+        "len": length.astype(jnp.int32),
+    }
+
+    last_idx = jnp.maximum(length - 1, 0)
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+    return cache, _lm_logits(params, cfg, h_last)
+
+
+def decode_step(
+    params: Params,
+    cfg: GlmAsrConfig,
+    cache: Cache,
+    tokens: jnp.ndarray,  # [B] int32 current input tokens
+    active: jnp.ndarray | None = None,  # [B] bool; inactive rows don't advance
+) -> Tuple[Cache, jnp.ndarray]:
+    """One autoregressive step for the whole decode batch. Returns f32 logits."""
+    dec = cfg.decoder
+    B = tokens.shape[0]
+    max_len = cache["k"].shape[2]
+    pos = cache["len"]  # [B] position to write
+    if active is None:
+        active = jnp.ones((B,), bool)
+
+    x = embed_tokens(params, tokens)  # [B, D]
+    cos, sin, rot = _rope_tables(dec, pos)  # [B, rot//2]
+
+    # key-validity mask: slots < len are valid history; the new token at `pos`
+    # is folded in explicitly below.
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (B, max_len), 1)
+    hist_valid = kpos < pos[:, None]
+
+    batch_idx = jnp.arange(B)
+
+    def body(h, layer):
+        lp, k_cache, v_cache = layer
+        hn = _rms_norm(h, lp["ln1_scale"], dec.rms_eps)
+        q, k_new, v_new = _decoder_qkv(lp, hn, dec)  # [B, nh, hd], [B, nkv, hd]
+        q = _apply_rope(q[:, None], cos[:, None], sin[:, None], rot)[:, 0]
+        k_new = _apply_rope(k_new[:, None], cos[:, None], sin[:, None], rot)[:, 0]
+
+        k_cache = k_cache.at[batch_idx, pos].set(
+            k_new.astype(k_cache.dtype), mode="drop"
+        )
+        v_cache = v_cache.at[batch_idx, pos].set(
+            v_new.astype(v_cache.dtype), mode="drop"
+        )
+
+        nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
+        qg = q.reshape(B, nkv, g, dec.head_dim)
+        scores = jnp.einsum(
+            "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
+        ) * (1.0 / math.sqrt(dec.head_dim))
+        valid = hist_valid | (kpos == pos[:, None])
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+        ctx = jnp.einsum("bkgs,bskd->bkgd", attn, v_cache).reshape(
+            B, dec.n_heads * dec.head_dim
+        )
+        h = h + ctx @ lp["o_w"]
+
+        hn = _rms_norm(h, lp["ln2_scale"], dec.rms_eps)
+        gate, up = jnp.split(hn @ lp["gate_up_w"], 2, axis=-1)
+        h = h + (jax.nn.silu(gate) * up) @ lp["down_w"]
+        return h, (k_cache, v_cache)
+
+    h, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["decoder"]["layers"], cache["k"], cache["v"])
+    )
+    new_len = jnp.where(active, jnp.minimum(pos + 1, max_len), pos)
+    cache = {"k": k_new, "v": v_new, "len": new_len}
+    return cache, _lm_logits(params, cfg, h)
+
+
+# =====================================================================
+# Convenience: whole-prompt greedy generation (file path / tests)
+# =====================================================================
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def greedy_generate(
+    params: Params,
+    cfg: GlmAsrConfig,
+    embeds: jnp.ndarray,  # [B, S, D]
+    length: jnp.ndarray,  # [B]
+    max_new_tokens: int,
+    logit_bias: jnp.ndarray | None = None,  # [V] additive bias (hotwords)
+) -> jnp.ndarray:
+    """Greedy decode (do_sample=False parity, reference asr.py:414). Returns
+    [B, max_new_tokens] tokens, pad-filled after EOS."""
+    B, S, _ = embeds.shape
+    cache = init_cache(cfg, B, S + max_new_tokens, dtype=embeds.dtype)
+    cache, logits = prefill(params, cfg, embeds, length, cache)
+
+    def pick(logits, done):
+        if logit_bias is not None:
+            logits = logits + logit_bias
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.where(done, cfg.pad_id, tok)
+
+    tok0 = pick(logits, jnp.zeros((B,), bool))
+
+    def step(carry, _):
+        cache, tok, done = carry
+        done = done | (tok == cfg.eos_id)
+        cache, logits = decode_step(params, cfg, cache, tok, active=~done)
+        nxt = pick(logits, done)
+        return (cache, nxt, done), tok
+
+    (_, _, _), toks = jax.lax.scan(
+        step, (cache, tok0, jnp.zeros((B,), bool)), None, length=max_new_tokens
+    )
+    return jnp.moveaxis(toks, 0, 1)  # [B, max_new]

@@ -1,0 +1,133 @@
+"""Tokenization and prompt assembly.
+
+Two backends behind one interface:
+
+- ``ByteTokenizer``: a self-contained reversible byte-level tokenizer
+  (ids 7..262 = bytes 0..255, ids 0..6 = specials matching GlmAsrConfig).
+  Used for tests, benches, and environments without a checkpoint.
+- ``HFTokenizer``: thin adapter over a HuggingFace tokenizer loaded from the
+  converted checkpoint directory (what production deployments use).
+
+Prompt assembly mirrors the reference's chat template semantics
+(reference: backend/asr.py:381-399 — a user message containing an audio slot
+plus a text instruction, then the generation prompt) but builds token ids
+directly; the audio slot is filled with projected encoder embeddings by the
+engine rather than by a processor re-reading a temp WAV.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from sonicscribe_tpu.models.config import GlmAsrConfig
+
+DEFAULT_INSTRUCTION = "Please transcribe this audio into text"
+
+
+class ByteTokenizer:
+    """Reversible byte-level tokenizer with 7 specials (see GlmAsrConfig)."""
+
+    NUM_SPECIALS = 7
+
+    def __init__(self, cfg: GlmAsrConfig | None = None):
+        self.cfg = cfg or GlmAsrConfig()
+        self.vocab_size = self.NUM_SPECIALS + 256
+
+    def encode(self, text: str) -> list[int]:
+        return [self.NUM_SPECIALS + b for b in text.encode("utf-8")]
+
+    def decode(self, ids) -> str:
+        data = bytes(
+            int(i) - self.NUM_SPECIALS
+            for i in ids
+            if self.NUM_SPECIALS <= int(i) < self.NUM_SPECIALS + 256
+        )
+        return data.decode("utf-8", errors="replace")
+
+    @property
+    def eos_id(self) -> int:
+        return self.cfg.eos_id
+
+    @property
+    def pad_id(self) -> int:
+        return self.cfg.pad_id
+
+
+class HFTokenizer:
+    """Adapter over a HuggingFace tokenizer directory (lazy import)."""
+
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer
+
+        self._tok = AutoTokenizer.from_pretrained(path, trust_remote_code=False)
+        self.vocab_size = len(self._tok)
+
+    def encode(self, text: str) -> list[int]:
+        return self._tok.encode(text, add_special_tokens=False)
+
+    def decode(self, ids) -> str:
+        return self._tok.decode(list(map(int, ids)), skip_special_tokens=True)
+
+    @property
+    def eos_id(self) -> int:
+        return self._tok.eos_token_id
+
+    @property
+    def pad_id(self) -> int:
+        return self._tok.pad_token_id or 0
+
+
+def format_hotwords_prompt(hotwords: list[str] | None, max_hotwords: int = 10) -> str:
+    """Hotword prompt-injection suffix, reference-parity semantics
+    (reference: backend/asr.py:303-333): strip, dedupe case-insensitively,
+    lowercase, cap at `max_hotwords`, render as
+    '. Pay special attention to these important terms: "a", "b"'.
+    """
+    if not hotwords:
+        return ""
+    seen: set[str] = set()
+    cleaned: list[str] = []
+    for w in hotwords:
+        w = str(w).strip().lower()
+        if w and w not in seen:
+            seen.add(w)
+            cleaned.append(w)
+        if len(cleaned) >= max_hotwords:
+            break
+    if not cleaned:
+        return ""
+    quoted = ", ".join(f'"{w}"' for w in cleaned)
+    return f". Pay special attention to these important terms: {quoted}"
+
+
+@dataclass
+class Prompt:
+    """Token ids surrounding the audio embedding slot."""
+
+    prefix_ids: np.ndarray  # [P] tokens before the audio embeddings
+    suffix_ids: np.ndarray  # [S] tokens after (instruction + generation prompt)
+
+    @property
+    def text_len(self) -> int:
+        return len(self.prefix_ids) + len(self.suffix_ids)
+
+
+def build_prompt(
+    tokenizer,
+    cfg: GlmAsrConfig,
+    instruction: str = DEFAULT_INSTRUCTION,
+    hotwords: list[str] | None = None,
+) -> Prompt:
+    """Assemble the chat-templated prompt around the audio slot:
+
+        <bos><user><audio_start> [audio embeds] <audio_end> instruction <assistant>
+    """
+    instruction = instruction + format_hotwords_prompt(hotwords)
+    prefix = [cfg.bos_id, cfg.user_id, cfg.audio_start_id]
+    suffix = [cfg.audio_end_id] + tokenizer.encode(instruction) + [cfg.assistant_id]
+    return Prompt(
+        prefix_ids=np.asarray(prefix, np.int32),
+        suffix_ids=np.asarray(suffix, np.int32),
+    )

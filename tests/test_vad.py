@@ -1,0 +1,163 @@
+"""VAD tests: energy VAD behavior, silero-arch shapes/state, segmentation
+semantics (driven by synthetic probability sequences), and the dynamic
+threshold gate (exact reference B5 semantics, SURVEY.md §2.1)."""
+
+import numpy as np
+import pytest
+
+from sonicscribe_tpu.vad import (
+    EnergyVad,
+    SileroVad,
+    VadGate,
+    VadGateConfig,
+    get_speech_timestamps,
+)
+from sonicscribe_tpu.vad.model import WINDOW_SAMPLES, window_probs
+from sonicscribe_tpu.vad.segments import timestamps_from_probs
+
+
+def _speech_like(seconds, sr=16000, seed=0):
+    """Modulated multi-tone burst, speech-band energy."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    carrier = sum(np.sin(2 * np.pi * f * t) for f in (220, 560, 1300, 2400))
+    envelope = 0.5 * (1 + np.sin(2 * np.pi * 4 * t))
+    return (0.2 * carrier * envelope + 0.002 * rng.standard_normal(len(t))).astype(
+        np.float32
+    )
+
+
+def _silence(seconds, sr=16000, seed=1):
+    rng = np.random.default_rng(seed)
+    return (0.0005 * rng.standard_normal(int(sr * seconds))).astype(np.float32)
+
+
+class TestEnergyVad:
+    def test_discriminates_speech_from_silence(self):
+        vad = EnergyVad()
+        audio = np.concatenate([_silence(1.0), _speech_like(1.0), _silence(1.0)])
+        probs = window_probs(vad, audio)
+        n = len(probs) // 3
+        assert probs[:n].mean() < 0.3
+        assert probs[n : 2 * n].mean() > 0.7
+        assert probs[2 * n :].mean() < 0.4
+
+    def test_batched_state_independent(self):
+        """Streams in a batch must not leak state into each other."""
+        import jax.numpy as jnp
+
+        vad = EnergyVad()
+        speech = _speech_like(0.032)[:WINDOW_SAMPLES]
+        quiet = _silence(0.032)[:WINDOW_SAMPLES]
+        state = vad.init_state(2)
+        for _ in range(5):
+            probs, state = vad.forward(
+                None, jnp.stack([speech, quiet]), state
+            )
+        assert float(probs[0]) > 0.7
+        assert float(probs[1]) < 0.3
+
+
+class TestSileroArch:
+    def test_shapes_and_state(self):
+        import jax.numpy as jnp
+
+        vad = SileroVad()
+        state = vad.init_state(3)
+        w = jnp.zeros((3, WINDOW_SAMPLES))
+        probs, state2 = vad.forward(vad.params, w, state)
+        assert probs.shape == (3,)
+        assert np.all((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1))
+        # context carried forward
+        assert state2["ctx"].shape == state["ctx"].shape
+        assert state2["h"].shape == (3, vad.cfg.lstm_hidden)
+
+
+class TestSegmentation:
+    def test_basic_segment(self):
+        # 2 s of probs at 31.25/s: silence, speech, silence
+        probs = np.concatenate([np.zeros(31), np.ones(31), np.zeros(62)])
+        n_samples = len(probs) * WINDOW_SAMPLES
+        segs = timestamps_from_probs(probs, n_samples, threshold=0.5)
+        assert len(segs) == 1
+        assert abs(segs[0].start - 31 * WINDOW_SAMPLES) <= WINDOW_SAMPLES + 480
+        assert segs[0].duration_s > 0.9
+
+    def test_min_speech_filters_blips(self):
+        probs = np.zeros(120)
+        probs[10:13] = 1.0  # 96 ms blip < 300 ms min_speech
+        segs = timestamps_from_probs(probs, len(probs) * WINDOW_SAMPLES)
+        assert segs == []
+
+    def test_min_silence_bridges_gaps(self):
+        probs = np.zeros(200)
+        probs[10:40] = 1.0
+        probs[45:75] = 1.0  # 160 ms gap < 1000 ms min_silence
+        segs = timestamps_from_probs(probs, len(probs) * WINDOW_SAMPLES)
+        assert len(segs) == 1
+
+    def test_long_silence_splits(self):
+        probs = np.zeros(300)
+        probs[10:40] = 1.0
+        probs[150:180] = 1.0  # 3.5 s gap > min_silence
+        segs = timestamps_from_probs(probs, len(probs) * WINDOW_SAMPLES)
+        assert len(segs) == 2
+
+    def test_max_speech_duration_splits(self):
+        probs = np.ones(400)  # 6.5 s continuous speech
+        segs = timestamps_from_probs(
+            probs, len(probs) * WINDOW_SAMPLES, max_speech_duration_s=3.0
+        )
+        assert len(segs) >= 2
+        assert all(s.duration_s <= 3.2 for s in segs)
+
+    def test_end_to_end_with_energy_vad(self):
+        audio = np.concatenate(
+            [_silence(1.5), _speech_like(2.0), _silence(2.0), _speech_like(1.0), _silence(1.0)]
+        )
+        segs = get_speech_timestamps(audio, EnergyVad(), threshold=0.5)
+        assert len(segs) == 2
+        assert abs(segs[0].start / 16000 - 1.5) < 0.3
+        assert abs(segs[0].duration_s - 2.0) < 0.5
+
+
+class TestVadGate:
+    """Reference B5 semantics (backend/vad_processor_manager.py:42-182)."""
+
+    def test_start_end_cycle(self):
+        g = VadGate()
+        assert g.threshold == 0.3
+        ev = g.update(0.5, first_chunk_id=0, last_chunk_id=9)
+        assert ev.state_changed and ev.speech_start_chunk == 0
+        assert g.is_speaking
+        assert g.threshold == pytest.approx(0.4)  # +0.1 start boost
+
+        ev = g.update(0.9, 10, 19)  # speech continues
+        assert not ev.state_changed
+        assert g.threshold == pytest.approx(0.43)  # +0.03
+
+        ev = g.update(0.1, 20, 29)  # first silent window: no end yet
+        assert not ev.state_changed
+        ev = g.update(0.1, 30, 39)  # second silent window: end
+        assert ev.state_changed and ev.speech_end_chunk == 39
+        assert not g.is_speaking
+        assert g.threshold == 0.3  # reset
+
+    def test_threshold_clamped_at_max(self):
+        g = VadGate(VadGateConfig())
+        g.update(1.0, 0, 9)
+        for i in range(30):
+            g.update(1.0, 10 * (i + 1), 10 * (i + 2) - 1)
+        assert g.threshold <= 0.9 + 1e-9
+
+    def test_single_silent_window_does_not_end(self):
+        g = VadGate()
+        g.update(0.9, 0, 9)
+        g.update(0.05, 10, 19)
+        ev = g.update(0.95, 20, 29)  # speech resumes; counter was reset
+        assert g.is_speaking and not ev.state_changed
+
+    def test_backdating(self):
+        g = VadGate()
+        ev = g.update(0.99, first_chunk_id=42, last_chunk_id=51)
+        assert ev.speech_start_chunk == 42

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sonicscribe_tpu.models.config import AudioEncoderConfig, DecoderConfig, GlmAsrConfig
+from sonicscribe_tpu.ops.quant import matmul
 
 Params = Dict[str, Any]
 Cache = Dict[str, jnp.ndarray]
@@ -200,19 +201,19 @@ def _encoder_block(x, mask_bias, lp, n_heads: int):
     hd = D // n_heads
 
     h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
-    q = (h @ lp["q_w"] + lp["q_b"]).reshape(B, S, n_heads, hd)
-    k = (h @ lp["k_w"]).reshape(B, S, n_heads, hd)
-    v = (h @ lp["v_w"] + lp["v_b"]).reshape(B, S, n_heads, hd)
+    q = (matmul(h, lp["q_w"]) + lp["q_b"]).reshape(B, S, n_heads, hd)
+    k = matmul(h, lp["k_w"]).reshape(B, S, n_heads, hd)
+    v = (matmul(h, lp["v_w"]) + lp["v_b"]).reshape(B, S, n_heads, hd)
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * (1.0 / math.sqrt(hd)) + mask_bias
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
-    x = x + ctx @ lp["o_w"] + lp["o_b"]
+    x = x + matmul(ctx, lp["o_w"]) + lp["o_b"]
 
     h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
-    h = jax.nn.gelu(h @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
-    return x + h @ lp["fc2_w"] + lp["fc2_b"]
+    h = jax.nn.gelu(matmul(h, lp["fc1_w"]) + lp["fc1_b"], approximate=False)
+    return x + matmul(h, lp["fc2_w"]) + lp["fc2_b"]
 
 
 def encode_audio(
@@ -283,7 +284,7 @@ def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
 def _decoder_qkv(lp, h, dec: DecoderConfig):
     B = h.shape[0]
     lead = h.shape[:-1]
-    qkv = h @ lp["qkv_w"]
+    qkv = matmul(h, lp["qkv_w"])
     if dec.qkv_bias:
         qkv = qkv + lp["qkv_b"]
     nq = dec.n_heads * dec.head_dim
@@ -323,12 +324,12 @@ def _decoder_layer_prefill(x, lp, dec: DecoderConfig, cos, sin, rot, mask_bias):
     scores = scores + mask_bias  # [B, 1, 1, S, S] broadcast
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = _gqa_context(attn, v)
-    x = x + ctx @ lp["o_w"]
+    x = x + matmul(ctx, lp["o_w"])
 
     h = _rms_norm(x, lp["ln2_scale"], dec.rms_eps)
-    gate_up = h @ lp["gate_up_w"]
+    gate_up = matmul(h, lp["gate_up_w"])
     gate, up = jnp.split(gate_up, 2, axis=-1)
-    x = x + (jax.nn.silu(gate) * up) @ lp["down_w"]
+    x = x + matmul(jax.nn.silu(gate) * up, lp["down_w"])
     return x, (k, v)
 
 
@@ -441,11 +442,11 @@ def decode_step(
         ctx = jnp.einsum("bkgs,bskd->bkgd", attn, v_cache).reshape(
             B, dec.n_heads * dec.head_dim
         )
-        h = h + ctx @ lp["o_w"]
+        h = h + matmul(ctx, lp["o_w"])
 
         hn = _rms_norm(h, lp["ln2_scale"], dec.rms_eps)
-        gate, up = jnp.split(hn @ lp["gate_up_w"], 2, axis=-1)
-        h = h + (jax.nn.silu(gate) * up) @ lp["down_w"]
+        gate, up = jnp.split(matmul(hn, lp["gate_up_w"]), 2, axis=-1)
+        h = h + matmul(jax.nn.silu(gate) * up, lp["down_w"])
         return h, (k_cache, v_cache)
 
     h, (k_new, v_new) = jax.lax.scan(

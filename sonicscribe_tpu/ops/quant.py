@@ -1,0 +1,97 @@
+"""INT8 weight-only quantization for the GLM-ASR decoder/encoder projections.
+
+Replaces the reference's bitsandbytes ``Linear8bitLt`` CUDA path
+(reference: backend/asr.py:169-210): every linear projection EXCEPT
+`lm_head` / `embed_tokens` / `audio_proj` is replaced by int8 weights with
+per-output-channel symmetric scales (the same skip-list as asr.py:176).
+
+TPU mapping: the quantized weight is stored int8 in HBM (half the bytes of
+bf16 — and autoregressive decode is HBM-bandwidth-bound, so this is a
+throughput feature, not just a memory one). The hot matmul is
+``x @ dequant(w)``: XLA fuses the int8->bf16 convert + column scale into the
+MXU matmul's operand load, so no dequantized copy ever lands in HBM.
+
+A quantized tensor is the pytree ``{"q": int8 [..., in, out],
+"scale": f32 [..., 1, out]}``; stacked layer weights quantize per layer per
+output channel, and `lax.scan` slices both leaves together.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Union
+
+import jax.numpy as jnp
+
+QTensor = dict  # {"q": int8, "scale": f32}
+ArrayOrQ = Union[jnp.ndarray, QTensor]
+
+# dict keys of projection weights that get quantized; embed / lm_head /
+# adapter(audio_proj) are skipped, matching reference asr.py:176
+_QUANT_KEYS = {
+    # decoder
+    "qkv_w", "o_w", "gate_up_w", "down_w",
+    # encoder
+    "q_w", "k_w", "v_w", "fc1_w", "fc2_w",
+}
+
+
+def is_qtensor(x: Any) -> bool:
+    return isinstance(x, dict) and "q" in x and "scale" in x
+
+
+def quantize_tensor(w: jnp.ndarray) -> QTensor:
+    """Per-output-channel symmetric int8 over the input axis (axis=-2)."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def dequantize_tensor(t: QTensor, dtype=jnp.float32) -> jnp.ndarray:
+    return (t["q"].astype(jnp.float32) * t["scale"]).astype(dtype)
+
+
+def matmul(x: jnp.ndarray, w: ArrayOrQ) -> jnp.ndarray:
+    """x @ w where w may be a plain array or an int8 QTensor.
+
+    For QTensors the convert+scale fuses into the matmul under XLA; int8 bytes
+    stream from HBM.
+    """
+    if is_qtensor(w):
+        out = jnp.einsum(
+            "...i,io->...o",
+            x,
+            w["q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (out * w["scale"][..., 0, :]).astype(x.dtype)
+    return x @ w
+
+
+def quantize_params_int8(params: dict) -> dict:
+    """Quantize a GLM-ASR parameter tree in place (returns a new tree)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in _QUANT_KEYS and isinstance(v, jnp.ndarray):
+                    out[k] = quantize_tensor(v)
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+def quantized_bytes(params: dict) -> int:
+    import jax
+    import numpy as np
+
+    return sum(x.nbytes for x in jax.tree.leaves(params) if hasattr(x, "nbytes")) or int(
+        sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+    )

@@ -1,0 +1,461 @@
+"""aiohttp application: the REST + WebSocket API surface.
+
+Endpoint and message parity with the reference FastAPI app
+(reference: backend/main.py:150,171,193,651,701; wire schema SURVEY.md §2.7):
+
+    GET  /health            model state + effective config
+    GET  /debug/config      derived protocol constants
+    POST /vad/config        runtime VAD reconfiguration
+    POST /transcribe/file   multipart upload -> NDJSON stream (or aggregate)
+    WS   /ws/audio          64 ms PCM ingest, tentative/committed results
+
+Differences by design (SURVEY.md §7 quirk fixes):
+- VAD reconfig is server-state, applied to sessions explicitly — not a global
+  class mutation racing across sessions (reference main.py:658-659);
+- WS `hotwords_config` is actually wired into decoding (reference stored it
+  and never used it, main.py:910);
+- every device call is awaited through the async engine; the ingest loop
+  never blocks on a decode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import Optional
+
+import numpy as np
+from aiohttp import WSMsgType, web
+
+from sonicscribe_tpu.config import AppConfig
+from sonicscribe_tpu.serve.decode import UnsupportedFormat, decode_audio
+from sonicscribe_tpu.serve.engine_async import ThreadedEngine
+from sonicscribe_tpu.serve.files import FileTranscriptionConfig, transcribe_file_stream
+from sonicscribe_tpu.serve.session import StreamSession
+
+logger = logging.getLogger(__name__)
+
+RECEIVE_TIMEOUT_S = 5.0  # reference main.py:782
+INACTIVITY_DISCONNECT_S = 30.0  # reference main.py:790-800
+MAX_UPLOAD_BYTES = 100 * 1024 * 1024  # reference FileAnalyzer.js:632
+
+
+# ---------------------------------------------------------------------
+# middleware
+# ---------------------------------------------------------------------
+
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        try:
+            resp = await handler(request)
+        except web.HTTPException as e:
+            resp = e
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+    resp.headers["Access-Control-Allow-Headers"] = "*"
+    if isinstance(resp, web.HTTPException):
+        raise resp
+    return resp
+
+
+# ---------------------------------------------------------------------
+# handlers
+# ---------------------------------------------------------------------
+
+
+async def health(request: web.Request) -> web.Response:
+    app = request.app
+    return web.json_response(
+        {
+            "status": "ok" if app.get("engine") else "initializing",
+            "model_loaded": app.get("engine") is not None,
+            "vad_loaded": app.get("vad") is not None,
+            "model_info": app.get("model_info", {}),
+            "active_sessions": len(app["sessions"]),
+            "config": app["config"].protocol_constants(),
+        }
+    )
+
+
+async def debug_config(request: web.Request) -> web.Response:
+    cfg: AppConfig = request.app["config"]
+    return web.json_response(
+        {
+            **cfg.protocol_constants(),
+            "vad_speech_threshold": cfg.vad_speech_threshold,
+            "vad_smoothing_window": cfg.vad_smoothing_window,
+            "decode_budgets": {
+                "interim": cfg.interim_max_new_tokens,
+                "final_max": cfg.final_max_tokens,
+                "file": cfg.file_max_new_tokens,
+            },
+            "quant_mode": cfg.quant_mode,
+        }
+    )
+
+
+async def vad_config(request: web.Request) -> web.Response:
+    """Runtime VAD reconfiguration (reference main.py:651-668)."""
+    cfg: AppConfig = request.app["config"]
+    try:
+        body = await request.json()
+    except Exception:
+        raise web.HTTPBadRequest(text=json.dumps({"error": "invalid JSON body"}))
+    updated = {}
+    if "threshold" in body:
+        t = float(body["threshold"])
+        if not 0.05 <= t <= 0.95:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "threshold must be in [0.05, 0.95]"})
+            )
+        cfg.vad_speech_threshold = t
+        updated["threshold"] = t
+    if "smoothing_window" in body:
+        w = int(body["smoothing_window"])
+        if not 1 <= w <= 10:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "smoothing_window must be in [1, 10]"})
+            )
+        cfg.vad_smoothing_window = w
+        updated["smoothing_window"] = w
+    # apply to live sessions explicitly (scoped, unlike the reference global)
+    for session in request.app["sessions"].values():
+        if "smoothing_window" in updated:
+            session.gate.cfg.smoothing_window = updated["smoothing_window"]
+    return web.json_response({"status": "updated", "config": updated})
+
+
+async def transcribe_file(request: web.Request) -> web.StreamResponse:
+    """Multipart upload -> NDJSON stream (reference main.py:193-523)."""
+    app = request.app
+    engine = app.get("engine")
+    if engine is None:
+        raise web.HTTPServiceUnavailable(
+            text=json.dumps({"error": "model not loaded"})
+        )
+
+    stream_mode = request.query.get("stream", "true").lower() != "false"
+    file_bytes: Optional[bytes] = None
+    filename = ""
+    config_str = "{}"
+
+    if not (request.content_type or "").startswith("multipart/"):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": "expected multipart/form-data with a 'file' field"})
+        )
+    reader = await request.multipart()
+    async for part in reader:
+        if part.name == "file":
+            filename = part.filename or ""
+            file_bytes = await part.read(decode=False)
+            if len(file_bytes) > MAX_UPLOAD_BYTES:
+                raise web.HTTPRequestEntityTooLarge(
+                    max_size=MAX_UPLOAD_BYTES, actual_size=len(file_bytes)
+                )
+        elif part.name == "config_str":
+            config_str = (await part.read(decode=False)).decode("utf-8", "replace")
+
+    if not file_bytes:
+        raise web.HTTPBadRequest(text=json.dumps({"error": "missing 'file' field"}))
+
+    try:
+        file_cfg = FileTranscriptionConfig.from_dict(json.loads(config_str or "{}"))
+    except (json.JSONDecodeError, ValueError, TypeError) as e:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": f"bad config_str: {e}"})
+        )
+    file_cfg.max_new_tokens = app["config"].file_max_new_tokens
+
+    try:
+        loop = asyncio.get_running_loop()
+        audio = await loop.run_in_executor(None, decode_audio, file_bytes, filename)
+    except UnsupportedFormat as e:
+        raise web.HTTPUnsupportedMediaType(text=json.dumps({"error": str(e)}))
+    except Exception as e:
+        raise web.HTTPBadRequest(text=json.dumps({"error": f"decode failed: {e}"}))
+
+    gen = transcribe_file_stream(audio, engine, app.get("vad"), file_cfg, filename)
+
+    if stream_mode:
+        resp = web.StreamResponse(
+            status=200,
+            headers={
+                "Content-Type": "application/x-ndjson",
+                "Access-Control-Allow-Origin": "*",
+            },
+        )
+        await resp.prepare(request)
+        async for msg in gen:
+            await resp.write((json.dumps(msg, ensure_ascii=False) + "\n").encode())
+        await resp.write_eof()
+        return resp
+
+    # aggregate mode (reference main.py:497-516)
+    messages = [msg async for msg in gen]
+    summary = messages[-1] if messages else {}
+    return web.json_response(
+        {
+            "segments": [m for m in messages if m.get("type") == "segment_result"],
+            "errors": [m for m in messages if m.get("type") == "segment_error"],
+            "summary": summary,
+        }
+    )
+
+
+# ---------------------------------------------------------------------
+# WebSocket
+# ---------------------------------------------------------------------
+
+
+def _repair_frames(data: bytes, chunk_size: int) -> list[bytes]:
+    """Split oversized / zero-pad undersized frames to exactly `chunk_size`
+    (reference main.py:813-838)."""
+    frames = []
+    for off in range(0, len(data), chunk_size):
+        piece = data[off : off + chunk_size]
+        if len(piece) < chunk_size:
+            piece = piece + b"\x00" * (chunk_size - len(piece))
+        frames.append(piece)
+    return frames or [b"\x00" * chunk_size]
+
+
+async def ws_audio(request: web.Request) -> web.WebSocketResponse:
+    app = request.app
+    cfg: AppConfig = app["config"]
+    ws = web.WebSocketResponse(heartbeat=None)
+    await ws.prepare(request)
+
+    client_id = uuid.uuid4().hex[:12]
+
+    async def send_json(msg: dict) -> None:
+        if not ws.closed:
+            await ws.send_str(json.dumps(msg, ensure_ascii=False))
+
+    session = StreamSession(client_id, cfg, app["engine"], send_json)
+    session.vad_enabled = True
+    app["sessions"][client_id] = session
+    logger.info("[%s] ws connected", client_id)
+
+    await send_json(
+        {
+            "type": "connection_established",
+            "client_id": client_id,
+            "config": cfg.protocol_constants(),
+            "capabilities": ["tentative_output", "committed_output", "hotwords", "vad_config"],
+        }
+    )
+
+    last_activity = time.monotonic()
+    try:
+        while not ws.closed:
+            try:
+                msg = await ws.receive(timeout=RECEIVE_TIMEOUT_S)
+            except asyncio.TimeoutError:
+                if time.monotonic() - last_activity > INACTIVITY_DISCONNECT_S:
+                    await send_json(
+                        {"type": "error", "code": "inactivity_timeout",
+                         "message": "no audio for 30s, closing"}
+                    )
+                    break
+                continue
+
+            if msg.type == WSMsgType.BINARY:
+                last_activity = time.monotonic()
+                for frame in _repair_frames(msg.data, cfg.audio_chunk_size):
+                    await session.on_audio(frame)
+            elif msg.type == WSMsgType.TEXT:
+                last_activity = time.monotonic()
+                try:
+                    ctrl = json.loads(msg.data)
+                except json.JSONDecodeError:
+                    await send_json(
+                        {"type": "error", "code": "bad_json", "message": "unparseable control message"}
+                    )
+                    continue
+                await _handle_control(ctrl, session, send_json, cfg)
+                if ctrl.get("type") == "close":
+                    break
+            elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.CLOSED, WSMsgType.ERROR):
+                break
+    finally:
+        app["sessions"].pop(client_id, None)
+        try:
+            await asyncio.wait_for(session.flush(), timeout=10.0)
+        except (asyncio.TimeoutError, Exception):
+            logger.exception("[%s] flush on close failed", client_id)
+        await session.cleanup()
+        if not ws.closed:
+            await ws.close()
+        logger.info("[%s] ws closed", client_id)
+    return ws
+
+
+async def _handle_control(ctrl: dict, session: StreamSession, send_json, cfg: AppConfig):
+    """Dispatch WS control messages (reference main.py:841-917)."""
+    mtype = ctrl.get("type")
+    if mtype == "ping":
+        await send_json({"type": "pong", "t": time.time()})
+    elif mtype == "get_state":
+        await send_json(session.state_snapshot())
+    elif mtype == "vad_config":
+        if "vad_enabled" in ctrl:
+            session.vad_enabled = bool(ctrl["vad_enabled"])
+        if "threshold" in ctrl:
+            t = float(ctrl["threshold"])
+            if 0.05 <= t <= 0.95:
+                session.gate.cfg.base_threshold = t
+                session.gate.threshold = max(session.gate.threshold, t)
+        await send_json(
+            {"type": "config_updated",
+             "vad_enabled": session.vad_enabled,
+             "threshold": session.gate.cfg.base_threshold}
+        )
+    elif mtype == "hotwords_config":
+        words = ctrl.get("hotwords", [])
+        if not isinstance(words, list):
+            await send_json({"type": "error", "code": "bad_hotwords",
+                             "message": "hotwords must be a list"})
+            return
+        session.hotwords = [str(w).strip() for w in words if str(w).strip()][:10]
+        await send_json({"type": "hotwords_updated", "hotwords": session.hotwords})
+    elif mtype == "close":
+        pass  # handled by caller
+    else:
+        await send_json({"type": "error", "code": "unknown_message",
+                         "message": f"unknown control type: {mtype!r}"})
+
+
+# ---------------------------------------------------------------------
+# app factory / runtime construction
+# ---------------------------------------------------------------------
+
+
+def build_app(config: AppConfig, engine, vad, model_info: dict | None = None) -> web.Application:
+    app = web.Application(middlewares=[cors_middleware], client_max_size=MAX_UPLOAD_BYTES + 1024)
+    app["config"] = config
+    app["engine"] = engine
+    app["vad"] = vad
+    app["model_info"] = model_info or {}
+    app["sessions"] = {}
+    app.router.add_get("/health", health)
+    app.router.add_get("/debug/config", debug_config)
+    app.router.add_post("/vad/config", vad_config)
+    app.router.add_post("/transcribe/file", transcribe_file)
+    app.router.add_get("/ws/audio", ws_audio)
+    return app
+
+
+def build_runtime(model_spec: str, vad_spec: str, config: AppConfig):
+    """Construct (engine, vad, model_info) from CLI specs.
+
+    model_spec: 'tiny-random' | 'nano-random' | a checkpoint directory.
+    vad_spec: 'energy' | 'silero' | a silero weights path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sonicscribe_tpu.engine.transcriber import Transcriber
+    from sonicscribe_tpu.models import nano, tiny
+    from sonicscribe_tpu.models.glm_asr import init_params, param_count
+    from sonicscribe_tpu.models.tokenizer import ByteTokenizer
+    from sonicscribe_tpu.vad.model import EnergyVad, SileroVad
+
+    if model_spec == "tiny-random":
+        mcfg = tiny()
+        params = init_params(mcfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        tokenizer = ByteTokenizer(mcfg)
+        buckets = (128, 256)
+    elif model_spec == "nano-random":
+        mcfg = nano()
+        params = init_params(mcfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        tokenizer = ByteTokenizer(mcfg)
+        buckets = tuple(config.prefill_buckets)
+    else:
+        from sonicscribe_tpu.tools.convert_weights import load_checkpoint
+
+        mcfg, params, tokenizer = load_checkpoint(model_spec)
+        buckets = tuple(config.prefill_buckets)
+
+    if config.quant_mode == "int8":
+        from sonicscribe_tpu.ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
+
+    transcriber = Transcriber(mcfg, params, tokenizer, prefill_buckets=buckets)
+    vad = EnergyVad() if vad_spec == "energy" else SileroVad()
+    engine = ThreadedEngine(transcriber, vad)
+    info = {
+        "model": model_spec,
+        "params": param_count(params),
+        "quant_mode": config.quant_mode,
+        "vad": vad_spec,
+        "backend": jax.default_backend(),
+    }
+    return engine, vad, info
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="SonicScribe-TPU server")
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--model", default="tiny-random",
+                        help="'tiny-random' | 'nano-random' | checkpoint dir")
+    parser.add_argument("--vad", default="energy", help="'energy' | 'silero'")
+    parser.add_argument("--quant", default=None, help="'native' | 'int8'")
+    parser.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip startup compilation of the (bucket, budget) program grid",
+    )
+    args = parser.parse_args(argv)
+
+    config = AppConfig()
+    if args.host:
+        config.host = args.host
+    if args.port:
+        config.port = args.port
+    if args.quant:
+        config.quant_mode = args.quant
+
+    logging.basicConfig(
+        level=getattr(logging, config.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    engine, vad, info = build_runtime(args.model, args.vad, config)
+    if not args.no_warmup:
+        # pre-compile the realtime-critical programs so the first session
+        # doesn't pay XLA compile latency (observed ~6.5 s on first interim)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        logger.info("warming up compiled program grid...")
+        engine.transcriber.warmup(
+            budgets=(
+                config.interim_max_new_tokens,
+                config.final_max_tokens,
+                config.file_max_new_tokens,
+            )
+        )
+        logger.info("warmup done in %.1fs", _time.perf_counter() - t0)
+    logger.info("runtime ready: %s", info)
+    app = build_app(config, engine, vad, info)
+
+    ssl_ctx = None
+    if config.use_https and config.ssl_certfile:
+        import ssl
+
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(config.ssl_certfile, config.ssl_keyfile)
+
+    web.run_app(app, host=config.host, port=config.port, ssl_context=ssl_ctx)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,275 @@
+"""Per-WebSocket-connection streaming session.
+
+Capability parity with the reference's ConnectionManager + VADProcessorManager
++ TranscriptionManager object graph (reference: backend/connection_manager.py,
+vad_processor_manager.py, transcription_manager.py; semantics in SURVEY.md
+§2.8), redesigned event-driven:
+
+- VAD windows are processed as chunks arrive (no 64 ms polling task);
+- all device work is awaited through the async engine (never blocks the loop);
+- WS hotwords are actually wired into transcription (the reference stored but
+  never used them — main.py:910, SURVEY.md §3.4);
+- interim cadence >= 1 s while speaking, final on gate speech-end, long finals
+  split into `_part_i` sub-segments (connection_manager.py:204-242 semantics).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from typing import Awaitable, Callable, Optional
+
+from sonicscribe_tpu.config import AppConfig
+from sonicscribe_tpu.stream.buffer import ChunkBuffer, SpeechSegment
+from sonicscribe_tpu.vad.gate import VadGate, VadGateConfig
+
+logger = logging.getLogger(__name__)
+
+SendFn = Callable[[dict], Awaitable[None]]
+
+
+class StreamSession:
+    def __init__(
+        self,
+        client_id: str,
+        config: AppConfig,
+        engine,
+        send: SendFn,
+        clock=time.monotonic,
+    ):
+        self.client_id = client_id
+        self.config = config
+        self.engine = engine
+        self.send = send
+        self.clock = clock
+
+        self.buffer = ChunkBuffer(
+            chunk_duration_ms=config.audio_chunk_duration_ms,
+            max_buffer_seconds=config.max_audio_buffer_seconds,
+            max_segments=config.max_speech_segments,
+            interim_chunks=config.temporary_transcription_interval,
+            clock=clock,
+        )
+        self.gate = VadGate(
+            VadGateConfig(
+                process_window=config.vad_process_window,
+                smoothing_window=config.vad_smoothing_window,
+                base_threshold=config.vad_dynamic_base_threshold,
+                max_threshold=config.vad_dynamic_max_threshold,
+                start_boost=config.vad_dynamic_start_boost,
+                continue_boost=config.vad_dynamic_continue_boost,
+            )
+        )
+        self.vad_enabled = True
+        self.hotwords: list[str] = []
+        self.vad_state = None  # device VAD model state, threaded per session
+        self._window_chunks: list[int] = []  # chunk ids awaiting a VAD decision
+        self._last_interim_t = 0.0
+        self._saved_interim_text = ""
+        self._last_interim_current = ""
+        self._last_interim_start: Optional[int] = None
+        self._decode_lock = asyncio.Lock()
+        self._tasks: set[asyncio.Task] = set()
+        self.active = True
+
+    # ------------------------------------------------------------------
+    # ingest
+    # ------------------------------------------------------------------
+
+    async def on_audio(self, data: bytes) -> None:
+        """One size-repaired 2048-byte frame."""
+        chunk = self.buffer.add_chunk(data)
+        self._window_chunks.append(chunk.chunk_id)
+        if len(self._window_chunks) >= self.config.vad_process_window:
+            window_ids = self._window_chunks[: self.config.vad_process_window]
+            self._window_chunks = self._window_chunks[self.config.vad_process_window :]
+            await self._process_vad_window(window_ids)
+
+    async def _process_vad_window(self, window_ids: list[int]) -> None:
+        first, last = window_ids[0], window_ids[-1]
+        if not self.vad_enabled:
+            # VAD off: treat everything as one rolling speech segment
+            if self.buffer.current_segment is None:
+                self.buffer.start_segment(first)
+            await self._maybe_interim()
+            return
+
+        audio = self.buffer.audio_in_range(first, last)
+        prob, self.vad_state = await self.engine.vad_window_prob(audio, self.vad_state)
+        ev = self.gate.update(prob, first, last)
+
+        if ev.state_changed and ev.speech_start_chunk is not None:
+            self.buffer.start_segment(ev.speech_start_chunk)
+            self._saved_interim_text = ""
+            self._last_interim_current = ""
+            self._last_interim_start = None
+            self._last_interim_t = self.clock()
+        elif ev.state_changed and ev.speech_end_chunk is not None:
+            seg = self.buffer.finalize_segment(ev.speech_end_chunk)
+            if seg is not None:
+                self._spawn(self._commit_segment(seg))
+        elif self.gate.is_speaking:
+            await self._maybe_interim()
+
+    def _spawn(self, coro) -> None:
+        task = asyncio.ensure_future(coro)
+        self._tasks.add(task)
+        task.add_done_callback(self._tasks.discard)
+
+    # ------------------------------------------------------------------
+    # interim ("tentative") path
+    # ------------------------------------------------------------------
+
+    async def _maybe_interim(self) -> None:
+        now = self.clock()
+        if now - self._last_interim_t < 1.0:
+            return
+        window = self.buffer.interim_audio()
+        if window is None:
+            return
+        self._last_interim_t = now
+        self._spawn(self._run_interim(*window))
+
+    async def _run_interim(self, audio, start_id: int, end_id: int) -> None:
+        if self._decode_lock.locked():
+            return  # drop interim if a decode is already in flight
+        async with self._decode_lock:
+            t0 = self.clock()
+            try:
+                result = await self.engine.transcribe(
+                    audio,
+                    self.config.audio_sample_rate,
+                    max_new_tokens=self.config.interim_max_new_tokens,
+                    hotwords=self.hotwords or None,
+                )
+            except Exception:
+                logger.exception("[%s] interim decode failed", self.client_id)
+                return
+            # cumulative text semantics (reference connection_manager.py:146-153):
+            # when the interim window slides past the previous one, bank its text
+            if (
+                self._last_interim_start is not None
+                and start_id > self._last_interim_start
+            ):
+                self._saved_interim_text += self._last_interim_current
+            self._last_interim_start = start_id
+            self._last_interim_current = result.text
+            if not self.active:
+                return
+            await self.send(
+                {
+                    "type": "tentative_output",
+                    "current_text": result.text,
+                    "text": self._saved_interim_text + result.text,
+                    "start_chunk_id": start_id,
+                    "end_chunk_id": end_id,
+                    "duration": (end_id - start_id + 1)
+                    * self.config.audio_chunk_duration_ms
+                    / 1000.0,
+                    "confidence": "tentative",
+                    "processing_delay": self.clock() - t0,
+                }
+            )
+
+    # ------------------------------------------------------------------
+    # final ("committed") path
+    # ------------------------------------------------------------------
+
+    async def _commit_segment(self, seg: SpeechSegment) -> None:
+        async with self._decode_lock:
+            audio, start_id, end_id = self.buffer.committed_audio(seg)
+            duration = len(audio) / self.config.audio_sample_rate
+            max_d = self.config.max_segment_duration
+            try:
+                if duration <= max_d:
+                    result = await self.engine.transcribe(
+                        audio,
+                        self.config.audio_sample_rate,
+                        max_new_tokens=self.config.final_token_budget(duration),
+                        hotwords=self.hotwords or None,
+                    )
+                    seg.transcript = result.text
+                    await self._send_committed(
+                        str(seg.segment_id), result.text, start_id, end_id,
+                        seg.start_time, seg.end_time,
+                    )
+                else:
+                    # split long finals into _part_i sub-segments
+                    # (reference connection_manager.py:204-242)
+                    n_parts = int(duration // max_d) + (1 if duration % max_d else 0)
+                    samples_per = len(audio) // n_parts
+                    chunks_per = (end_id - start_id + 1) // n_parts
+                    for i in range(n_parts):
+                        lo = i * samples_per
+                        hi = len(audio) if i == n_parts - 1 else (i + 1) * samples_per
+                        part = await self.engine.transcribe(
+                            audio[lo:hi],
+                            self.config.audio_sample_rate,
+                            max_new_tokens=self.config.final_token_budget(
+                                (hi - lo) / self.config.audio_sample_rate
+                            ),
+                            hotwords=self.hotwords or None,
+                        )
+                        c_lo = start_id + i * chunks_per
+                        c_hi = end_id if i == n_parts - 1 else c_lo + chunks_per - 1
+                        await self._send_committed(
+                            f"{seg.segment_id}_part_{i}",
+                            part.text,
+                            c_lo,
+                            c_hi,
+                            seg.start_time + lo / self.config.audio_sample_rate,
+                            seg.start_time + hi / self.config.audio_sample_rate,
+                        )
+            except Exception:
+                logger.exception("[%s] committed decode failed", self.client_id)
+
+    async def _send_committed(
+        self, segment_id, text, start_id, end_id, start_time, end_time
+    ) -> None:
+        if not self.active:
+            return
+        await self.send(
+            {
+                "type": "committed_output",
+                "text": text,
+                "segment_id": segment_id,
+                "start_chunk_id": start_id,
+                "end_chunk_id": end_id,
+                "start_time": start_time,
+                "end_time": end_time,
+                "confidence": "high",
+            }
+        )
+
+    # ------------------------------------------------------------------
+    # state / lifecycle
+    # ------------------------------------------------------------------
+
+    def state_snapshot(self) -> dict:
+        """For the `get_state` WS message (reference main.py:864-880)."""
+        return {
+            "type": "connection_state",
+            "client_id": self.client_id,
+            "is_speaking": self.gate.is_speaking,
+            "vad_enabled": self.vad_enabled,
+            "vad_threshold": self.gate.threshold,
+            "buffered_chunks": self.buffer.chunk_count(),
+            "newest_chunk_id": self.buffer.newest_chunk_id,
+            "segments": len(self.buffer.segments),
+            "hotwords": list(self.hotwords),
+        }
+
+    async def flush(self) -> None:
+        """Finalize an open segment (used on close)."""
+        if self.buffer.current_segment is not None:
+            seg = self.buffer.finalize_segment(self.buffer.newest_chunk_id)
+            if seg is not None:
+                await self._commit_segment(seg)
+
+    async def cleanup(self) -> None:
+        self.active = False
+        for t in list(self._tasks):
+            t.cancel()
+        if self._tasks:
+            await asyncio.gather(*self._tasks, return_exceptions=True)

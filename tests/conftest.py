@@ -20,3 +20,5 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+pytest_plugins = ["aiohttp.pytest_plugin"]

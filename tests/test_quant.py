@@ -1,0 +1,85 @@
+"""INT8 weight-only quantization tests (reference capability: asr.py:148-210)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonicscribe_tpu.models import tiny
+from sonicscribe_tpu.models.glm_asr import init_params, greedy_generate
+from sonicscribe_tpu.ops.quant import (
+    dequantize_tensor,
+    is_qtensor,
+    matmul,
+    quantize_params_int8,
+    quantize_tensor,
+)
+
+
+class TestQuantOps:
+    def test_roundtrip_error_bounded(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.1
+        q = quantize_tensor(w)
+        assert q["q"].dtype == jnp.int8
+        deq = dequantize_tensor(q)
+        # max error is half a quantization step per column
+        step = np.asarray(q["scale"])[0]
+        assert np.all(np.abs(np.asarray(deq - w)) <= step * 0.5 + 1e-7)
+
+    def test_matmul_quantized_close(self):
+        k = jax.random.PRNGKey(1)
+        x = jax.random.normal(k, (4, 64))
+        w = jax.random.normal(jax.random.PRNGKey(2), (64, 32)) * 0.05
+        exact = np.asarray(x @ w)
+        quant = np.asarray(matmul(x, quantize_tensor(w)))
+        rel = np.abs(quant - exact).max() / (np.abs(exact).max() + 1e-9)
+        assert rel < 0.02
+
+    def test_matmul_stacked_layer_slice(self):
+        """scan slices q and scale together: simulate one slice."""
+        w = jax.random.normal(jax.random.PRNGKey(3), (3, 16, 8)) * 0.1
+        qt = quantize_tensor(w)
+        sliced = {"q": qt["q"][1], "scale": qt["scale"][1]}
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 16))
+        got = np.asarray(matmul(x, sliced))
+        want = np.asarray(x @ dequantize_tensor({"q": qt["q"][1], "scale": qt["scale"][1]}))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestQuantizedModel:
+    def test_skip_list_and_size(self):
+        cfg = tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        qp = quantize_params_int8(params)
+        # skip-list parity with reference asr.py:176
+        assert not is_qtensor(qp["decoder"]["embed"])
+        assert not is_qtensor(qp["adapter"]["fc1"]["w"])
+        assert is_qtensor(qp["decoder"]["layers"]["qkv_w"])
+        assert is_qtensor(qp["encoder"]["layers"]["fc1_w"])
+        # memory shrinks (int8 vs f32 on the projections)
+        orig = sum(x.nbytes for x in jax.tree.leaves(params))
+        quant = sum(x.nbytes for x in jax.tree.leaves(qp))
+        assert quant < 0.55 * orig
+
+    def test_quantized_generation_runs_and_is_deterministic(self):
+        cfg = tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        qp = quantize_params_int8(params)
+        prompt = jax.random.normal(jax.random.PRNGKey(5), (1, 8, cfg.decoder.d_model)) * 0.1
+        length = jnp.array([8])
+        a = np.asarray(greedy_generate(qp, cfg, prompt, length, 6))
+        b = np.asarray(greedy_generate(qp, cfg, prompt, length, 6))
+        np.testing.assert_array_equal(a, b)
+
+    def test_quantized_logits_close_to_fp(self):
+        from sonicscribe_tpu.models.glm_asr import init_cache, prefill
+
+        cfg = tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        qp = quantize_params_int8(params)
+        prompt = jax.random.normal(jax.random.PRNGKey(6), (1, 8, cfg.decoder.d_model)) * 0.1
+        length = jnp.array([8])
+        _, lf = prefill(params, cfg, prompt, length, init_cache(cfg, 1, 16, jnp.float32))
+        _, lq = prefill(qp, cfg, prompt, length, init_cache(cfg, 1, 16, jnp.float32))
+        denom = np.abs(np.asarray(lf)).max() + 1e-9
+        assert np.abs(np.asarray(lf - lq)).max() / denom < 0.05

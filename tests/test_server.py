@@ -1,0 +1,192 @@
+"""Integration tests: the full REST + WS protocol against a live aiohttp app
+with the tiny random model and the EnergyVad (SURVEY.md §4 level-3 testing —
+the reference has no tests; the protocol schema is SURVEY.md §2.7)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from sonicscribe_tpu.audio.wav import write_wav
+from sonicscribe_tpu.config import AppConfig
+from sonicscribe_tpu.serve.app import build_app, build_runtime
+
+SR = 16000
+
+
+def _speech(sec, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SR * sec)) / SR
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3 * t))
+    x = 0.25 * env * sum(np.sin(2 * np.pi * f * t) for f in (200, 700, 1500, 2600))
+    return (x + 0.002 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def _silence(sec, seed=1):
+    return (0.0006 * np.random.default_rng(seed).standard_normal(int(SR * sec))).astype(
+        np.float32
+    )
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    cfg = AppConfig()
+    engine, vad, info = build_runtime("tiny-random", "energy", cfg)
+    return cfg, engine, vad, info
+
+
+@pytest.fixture
+def app(runtime):
+    cfg, engine, vad, info = runtime
+    return build_app(cfg, engine, vad, info)
+
+
+async def test_health_and_debug_config(app, aiohttp_client):
+    client = await aiohttp_client(app)
+    r = await client.get("/health")
+    assert r.status == 200
+    body = await r.json()
+    assert body["status"] == "ok" and body["model_loaded"]
+    r = await client.get("/debug/config")
+    d = await r.json()
+    assert d["audio_chunk_size"] == 2048
+    assert d["samples_per_chunk"] == 1024
+
+
+async def test_vad_config_validation(app, aiohttp_client):
+    client = await aiohttp_client(app)
+    r = await client.post("/vad/config", json={"threshold": 0.7})
+    assert r.status == 200
+    assert (await r.json())["config"]["threshold"] == 0.7
+    r = await client.post("/vad/config", json={"threshold": 7.0})
+    assert r.status == 400
+    r = await client.post("/vad/config", data=b"not json")
+    assert r.status == 400
+
+
+async def test_file_transcription_ndjson(app, aiohttp_client):
+    client = await aiohttp_client(app)
+    audio = np.concatenate([_silence(1.2), _speech(2.0), _silence(1.5)])
+    wav = write_wav(audio, SR)
+
+    from aiohttp import FormData
+
+    form = FormData()
+    form.add_field("file", wav, filename="test.wav", content_type="audio/wav")
+    form.add_field("config_str", json.dumps({"hotwords": ["jax"], "vad_enabled": True}))
+
+    r = await client.post("/transcribe/file?stream=true", data=form)
+    assert r.status == 200
+    lines = [json.loads(ln) for ln in (await r.text()).strip().split("\n")]
+    types = [m["type"] for m in lines]
+    assert types[0] == "initialization"
+    assert types[1] == "segments_summary"
+    assert types[-1] == "final_summary"
+    assert "segment_result" in types
+    seg = next(m for m in lines if m["type"] == "segment_result")
+    assert {"segment_index", "start_time", "end_time", "text", "progress"} <= set(seg)
+    assert seg["hotwords_used"] is True
+    summary = lines[-1]
+    assert summary["successful_segments"] >= 1
+    assert summary["failed_segments"] == 0
+
+
+async def test_file_transcription_aggregate_and_errors(app, aiohttp_client):
+    client = await aiohttp_client(app)
+    from aiohttp import FormData
+
+    # aggregate mode
+    form = FormData()
+    form.add_field("file", write_wav(_speech(1.0), SR), filename="t.wav")
+    r = await client.post("/transcribe/file?stream=false", data=form)
+    assert r.status == 200
+    body = await r.json()
+    assert body["summary"]["type"] == "final_summary"
+
+    # missing file field
+    form = FormData()
+    form.add_field("config_str", "{}")
+    r = await client.post("/transcribe/file", data=form)
+    assert r.status == 400
+
+    # garbage payload
+    form = FormData()
+    form.add_field("file", b"\x00" * 100, filename="x.mp3")
+    r = await client.post("/transcribe/file", data=form)
+    assert r.status in (400, 415)
+
+
+async def test_websocket_full_session(app, aiohttp_client):
+    """Stream silence -> speech -> silence; expect tentative then committed."""
+    client = await aiohttp_client(app)
+    ws = await client.ws_connect("/ws/audio")
+
+    hello = json.loads((await ws.receive_str()))
+    assert hello["type"] == "connection_established"
+    assert hello["config"]["audio_chunk_size"] == 2048
+
+    # control: ping/state/hotwords
+    await ws.send_str(json.dumps({"type": "ping"}))
+    assert json.loads(await ws.receive_str())["type"] == "pong"
+    await ws.send_str(json.dumps({"type": "hotwords_config", "hotwords": ["tpu", "jax"]}))
+    assert json.loads(await ws.receive_str())["hotwords"] == ["tpu", "jax"]
+    await ws.send_str(json.dumps({"type": "get_state"}))
+    state = json.loads(await ws.receive_str())
+    assert state["type"] == "connection_state" and state["hotwords"] == ["tpu", "jax"]
+
+    audio = np.concatenate([_silence(0.7), _speech(2.4), _silence(1.6)])
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+    msgs = []
+
+    async def reader():
+        while True:
+            m = await ws.receive()
+            if m.type.name != "TEXT":
+                break
+            msgs.append(json.loads(m.data))
+
+    rtask = asyncio.ensure_future(reader())
+    for off in range(0, len(pcm) - 2048, 2048):
+        await ws.send_bytes(pcm[off : off + 2048])
+        await asyncio.sleep(0.001)
+
+    # wait for a committed_output (decode may take a while on CPU)
+    for _ in range(600):
+        if any(m["type"] == "committed_output" for m in msgs):
+            break
+        await asyncio.sleep(0.1)
+    await ws.send_str(json.dumps({"type": "close"}))
+    await asyncio.sleep(0.2)
+    await ws.close()
+    rtask.cancel()
+
+    kinds = {m["type"] for m in msgs}
+    assert "committed_output" in kinds, f"messages seen: {[m['type'] for m in msgs]}"
+    committed = next(m for m in msgs if m["type"] == "committed_output")
+    assert {"text", "segment_id", "start_chunk_id", "end_chunk_id", "confidence"} <= set(
+        committed
+    )
+    assert committed["confidence"] == "high"
+    # speech started ~0.7s in => start chunk should be > 0 and < 30
+    assert 0 < committed["start_chunk_id"] < 30
+
+
+async def test_websocket_frame_repair_and_bad_control(app, aiohttp_client):
+    client = await aiohttp_client(app)
+    ws = await client.ws_connect("/ws/audio")
+    await ws.receive_str()  # hello
+
+    # undersized and oversized frames must not kill the session
+    await ws.send_bytes(b"\x01\x02" * 10)  # 20 bytes -> zero-padded
+    await ws.send_bytes(b"\x00" * 5000)  # split into 3 frames
+    await ws.send_str("this is not json")
+    err = json.loads(await ws.receive_str())
+    assert err["type"] == "error" and err["code"] == "bad_json"
+    await ws.send_str(json.dumps({"type": "warp_drive"}))
+    err = json.loads(await ws.receive_str())
+    assert err["code"] == "unknown_message"
+    # still alive
+    await ws.send_str(json.dumps({"type": "ping"}))
+    assert json.loads(await ws.receive_str())["type"] == "pong"
+    await ws.close()

@@ -1,0 +1,138 @@
+"""Benchmark: file-transcription RTF + interim latency on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "file_rtf_30s", "value": <rtf>, "unit": "ratio",
+   "vs_baseline": <0.02 / rtf>, ...extras}
+
+The north-star targets (BASELINE.json — the reference publishes no numbers):
+file RTF <= 0.02, p50 interim latency < 300 ms. vs_baseline > 1.0 means the
+target is met. The model is the nano() preset (~1.9B params, bf16, random
+weights — decode cost does not depend on weight values; EOS is suppressed so
+every run decodes the full token budget, the worst case).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sonicscribe_tpu.engine.transcriber import Transcriber
+    from sonicscribe_tpu.models import nano, tiny
+    from sonicscribe_tpu.models.glm_asr import init_params, param_count
+    from sonicscribe_tpu.models.tokenizer import ByteTokenizer
+
+    quick = "--quick" in sys.argv  # tiny model, for CI-style smoke runs
+    quant = "int8" if "--int8" in sys.argv else "native"
+
+    cfg = tiny() if quick else nano()
+    dtype = jnp.float32 if quick else jnp.bfloat16
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    if quant == "int8":
+        from sonicscribe_tpu.ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
+    tokenizer = ByteTokenizer(cfg)
+
+    file_bucket = 256 if quick else 3072  # 30 s of mel frames
+    interim_bucket = 128  # 1.28 s interim window
+    tr = Transcriber(
+        cfg, params, tokenizer, prefill_buckets=(interim_bucket, file_bucket)
+    )
+    # suppress EOS so greedy always decodes the full budget (worst case)
+    no_eos = np.zeros((cfg.decoder.vocab_size,), np.float32)
+    no_eos[cfg.eos_id] = -1e9
+    tr._zero_bias = jnp.asarray(no_eos)
+
+    sr = 16000
+    file_seconds = file_bucket * 160 / sr
+    rng = np.random.default_rng(0)
+    audio30 = (0.1 * rng.standard_normal(int(sr * file_seconds))).astype(np.float32)
+    audio_interim = audio30[: int(1.28 * sr)]
+    file_budget = 256
+    interim_budget = 15
+
+    # ---- compile (not measured) ----
+    tr.transcribe(audio30, sr, max_new_tokens=file_budget)
+    tr.transcribe(audio_interim, sr, max_new_tokens=interim_budget)
+
+    # ---- file RTF ----
+    rtfs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = tr.transcribe(audio30, sr, max_new_tokens=file_budget)
+        dt = time.perf_counter() - t0
+        assert len(r.tokens) == file_budget, f"decoded {len(r.tokens)} tokens"
+        rtfs.append(dt / file_seconds)
+    rtf = float(np.median(rtfs))
+
+    # ---- interim latency ----
+    lats = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        tr.transcribe(audio_interim, sr, max_new_tokens=interim_budget)
+        lats.append(time.perf_counter() - t0)
+    p50_interim_ms = float(np.median(lats) * 1000)
+
+    decode_tps = file_budget / (rtf * file_seconds)
+
+    # ---- batched file RTF: the real file-endpoint path ----
+    # N 20s segments decoded concurrently through the continuous batcher
+    # (this is what /transcribe/file does; weights stream from HBM once per
+    # step for the whole batch instead of once per segment).
+    import asyncio
+
+    from sonicscribe_tpu.engine.batcher import BatchedEngine
+    from sonicscribe_tpu.vad.model import EnergyVad
+
+    n_seg = 2 if quick else 8
+    seg_bucket = interim_bucket if quick else 2048  # 20.48 s
+    seg_seconds = seg_bucket * 160 / sr
+    tr_b = Transcriber(cfg, params, tokenizer, prefill_buckets=(seg_bucket,))
+    tr_b._zero_bias = jnp.asarray(no_eos)
+    engine = BatchedEngine(tr_b, EnergyVad(), slots=n_seg,
+                           max_decode_tokens=file_budget)
+    engine.warmup()
+    segments = [
+        (0.1 * rng.standard_normal(int(sr * seg_seconds))).astype(np.float32)
+        for _ in range(n_seg)
+    ]
+
+    async def run_batch():
+        t0 = time.perf_counter()
+        await asyncio.gather(
+            *[engine.transcribe(s, sr, max_new_tokens=file_budget) for s in segments]
+        )
+        return time.perf_counter() - t0
+
+    loop = asyncio.new_event_loop()
+    loop.run_until_complete(run_batch())  # compile/settle
+    dt = min(loop.run_until_complete(run_batch()) for _ in range(2))
+    engine.shutdown()
+    loop.close()
+    batched_rtf = dt / (n_seg * seg_seconds)
+
+    result = {
+        "metric": "file_rtf_batched",
+        "value": round(batched_rtf, 5),
+        "unit": "ratio",
+        "vs_baseline": round(0.02 / batched_rtf, 3),
+        "single_stream_rtf_30s": round(rtf, 5),
+        "p50_interim_ms": round(p50_interim_ms, 1),
+        "decode_tokens_per_s_single_stream": round(decode_tps, 1),
+        "batched_segments": n_seg,
+        "batched_audio_seconds": round(n_seg * seg_seconds, 1),
+        "model_params": param_count(params),
+        "quant": quant,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,38 @@ from sonicscribe_tpu.models.tokenizer import DEFAULT_INSTRUCTION, build_prompt
 MAX_SUFFIX_TOKENS = 160  # instruction + hotword suffix, padded to this
 
 
+def assemble_prompt(
+    params: Params,
+    cfg: GlmAsrConfig,
+    mel: jnp.ndarray,  # [1, T_bucket, n_mels]
+    n_frames: jnp.ndarray,  # [] int32
+    prefix_ids: jnp.ndarray,  # [P]
+    suffix_ids: jnp.ndarray,  # [MAX_SUFFIX_TOKENS] pad-filled
+    suffix_len: jnp.ndarray,  # [] int32
+):
+    """mel -> (prompt embeddings buffer [1, P+A_max+S, D], total_len [1]).
+
+    The audio slot is written at a static offset; the instruction suffix is
+    written at a TRACED offset (after the true audio-token count) with
+    dynamic_update_slice — one compiled program per mel bucket serves every
+    audio length within it.
+    """
+    audio_embeds, n_tok = encode_audio(params, cfg, mel, n_frames[None])
+    n_tok = n_tok[0]
+    A_max = audio_embeds.shape[1]
+    P = prefix_ids.shape[0]
+    S = suffix_ids.shape[0]
+    D = audio_embeds.shape[-1]
+
+    buf = jnp.zeros((1, P + A_max + S, D), audio_embeds.dtype)
+    buf = buf.at[0, :P].set(embed_tokens(params, prefix_ids))
+    buf = jax.lax.dynamic_update_slice(buf, audio_embeds, (0, P, 0))
+    suffix_embeds = embed_tokens(params, suffix_ids)[None]
+    buf = jax.lax.dynamic_update_slice(buf, suffix_embeds, (0, P + n_tok, 0))
+    total_len = (P + n_tok + suffix_len)[None]
+    return buf, total_len
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
 def _transcribe_program(
     params: Params,
@@ -60,20 +92,9 @@ def _transcribe_program(
 ) -> jnp.ndarray:
     """mel -> greedy tokens [1, max_new_tokens]. One compiled program per
     (mel bucket, decode budget)."""
-    audio_embeds, n_tok = encode_audio(params, cfg, mel, n_frames[None])
-    n_tok = n_tok[0]
-    A_max = audio_embeds.shape[1]
-    P = prefix_ids.shape[0]
-    S = suffix_ids.shape[0]
-    D = audio_embeds.shape[-1]
-
-    buf = jnp.zeros((1, P + A_max + S, D), audio_embeds.dtype)
-    buf = buf.at[0, :P].set(embed_tokens(params, prefix_ids))
-    buf = jax.lax.dynamic_update_slice(buf, audio_embeds, (0, P, 0))
-    suffix_embeds = embed_tokens(params, suffix_ids)[None]
-    buf = jax.lax.dynamic_update_slice(buf, suffix_embeds, (0, P + n_tok, 0))
-    total_len = (P + n_tok + suffix_len)[None]
-
+    buf, total_len = assemble_prompt(
+        params, cfg, mel, n_frames, prefix_ids, suffix_ids, suffix_len
+    )
     return greedy_generate(
         params, cfg, buf, total_len, max_new_tokens, logit_bias=logit_bias
     )

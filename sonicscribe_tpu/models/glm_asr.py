@@ -343,17 +343,17 @@ def _lm_logits(params: Params, cfg: GlmAsrConfig, h: jnp.ndarray) -> jnp.ndarray
     return jnp.einsum("...d,dv->...v", h, w, preferred_element_type=jnp.float32)
 
 
-def prefill(
+def prefill_kv(
     params: Params,
     cfg: GlmAsrConfig,
     embeds: jnp.ndarray,  # [B, S, D] zero-padded prompt embeddings
     length: jnp.ndarray,  # [B] true prompt lengths
-    cache: Cache,
-) -> Tuple[Cache, jnp.ndarray]:
-    """Run the prompt through the decoder, filling cache[:, :, :S].
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the prompt through the decoder WITHOUT a cache object.
 
-    Returns (cache, last_logits [B, V]) where last_logits is taken at the
-    final REAL position of each row (length-1), f32.
+    Returns (ks, vs, last_logits): ks/vs are [L, B, S, nkv, hd] for the caller
+    to place into its cache (the continuous batcher writes them into a session
+    slot); last_logits [B, V] f32 is taken at each row's final real position.
     """
     dec = cfg.decoder
     B, S, _ = embeds.shape
@@ -372,11 +372,27 @@ def prefill(
         return h, kv
 
     h, (ks, vs) = jax.lax.scan(body, embeds, params["decoder"]["layers"])
-    # ks: [L, B, S, nkv, hd] -> write into cache
+    last_idx = jnp.maximum(length - 1, 0)
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+    return ks, vs, _lm_logits(params, cfg, h_last)
+
+
+def prefill(
+    params: Params,
+    cfg: GlmAsrConfig,
+    embeds: jnp.ndarray,  # [B, S, D] zero-padded prompt embeddings
+    length: jnp.ndarray,  # [B] true prompt lengths
+    cache: Cache,
+) -> Tuple[Cache, jnp.ndarray]:
+    """Run the prompt through the decoder, filling cache[:, :, :S].
+
+    Returns (cache, last_logits [B, V]) — see prefill_kv.
+    """
+    B, S, _ = embeds.shape
     max_len = cache["k"].shape[2]
-    pad = max_len - S
-    if pad < 0:
+    if max_len - S < 0:
         raise ValueError(f"prompt length {S} exceeds cache capacity {max_len}")
+    ks, vs, last_logits = prefill_kv(params, cfg, embeds, length)
     cache = {
         "k": jax.lax.dynamic_update_slice(
             cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0)
@@ -386,10 +402,7 @@ def prefill(
         ),
         "len": length.astype(jnp.int32),
     }
-
-    last_idx = jnp.maximum(length - 1, 0)
-    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
-    return cache, _lm_logits(params, cfg, h_last)
+    return cache, last_logits
 
 
 def decode_step(

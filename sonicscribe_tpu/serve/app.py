@@ -173,6 +173,7 @@ async def transcribe_file(request: web.Request) -> web.StreamResponse:
             text=json.dumps({"error": f"bad config_str: {e}"})
         )
     file_cfg.max_new_tokens = app["config"].file_max_new_tokens
+    file_cfg.concurrency = getattr(engine, "concurrency_hint", 3)
 
     try:
         loop = asyncio.get_running_loop()
@@ -353,11 +354,14 @@ def build_app(config: AppConfig, engine, vad, model_info: dict | None = None) ->
     return app
 
 
-def build_runtime(model_spec: str, vad_spec: str, config: AppConfig):
+def build_runtime(
+    model_spec: str, vad_spec: str, config: AppConfig, engine_kind: str = "batched"
+):
     """Construct (engine, vad, model_info) from CLI specs.
 
     model_spec: 'tiny-random' | 'nano-random' | a checkpoint directory.
     vad_spec: 'energy' | 'silero' | a silero weights path.
+    engine_kind: 'batched' (continuous batcher, the default) | 'threaded'.
     """
     import jax
     import jax.numpy as jnp
@@ -391,12 +395,24 @@ def build_runtime(model_spec: str, vad_spec: str, config: AppConfig):
 
     transcriber = Transcriber(mcfg, params, tokenizer, prefill_buckets=buckets)
     vad = EnergyVad() if vad_spec == "energy" else SileroVad()
-    engine = ThreadedEngine(transcriber, vad)
+    if engine_kind == "batched":
+        from sonicscribe_tpu.engine.batcher import BatchedEngine
+
+        engine = BatchedEngine(
+            transcriber,
+            vad,
+            slots=config.decode_slots,
+            max_decode_tokens=max(config.file_max_new_tokens, config.final_max_tokens),
+        )
+    else:
+        engine = ThreadedEngine(transcriber, vad)
     info = {
         "model": model_spec,
         "params": param_count(params),
         "quant_mode": config.quant_mode,
         "vad": vad_spec,
+        "engine": engine_kind,
+        "decode_slots": config.decode_slots if engine_kind == "batched" else 1,
         "backend": jax.default_backend(),
     }
     return engine, vad, info
@@ -409,6 +425,10 @@ def main(argv=None):
     parser.add_argument("--model", default="tiny-random",
                         help="'tiny-random' | 'nano-random' | checkpoint dir")
     parser.add_argument("--vad", default="energy", help="'energy' | 'silero'")
+    parser.add_argument(
+        "--engine", default="batched", choices=("batched", "threaded"),
+        help="continuous batcher (default) or single-threaded engine",
+    )
     parser.add_argument("--quant", default=None, help="'native' | 'int8'")
     parser.add_argument(
         "--no-warmup", action="store_true",
@@ -428,7 +448,7 @@ def main(argv=None):
         level=getattr(logging, config.log_level.upper(), logging.INFO),
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
-    engine, vad, info = build_runtime(args.model, args.vad, config)
+    engine, vad, info = build_runtime(args.model, args.vad, config, args.engine)
     if not args.no_warmup:
         # pre-compile the realtime-critical programs so the first session
         # doesn't pay XLA compile latency (observed ~6.5 s on first interim)
@@ -436,7 +456,7 @@ def main(argv=None):
 
         t0 = _time.perf_counter()
         logger.info("warming up compiled program grid...")
-        engine.transcriber.warmup(
+        engine.warmup(
             budgets=(
                 config.interim_max_new_tokens,
                 config.final_max_tokens,

@@ -29,6 +29,8 @@ class ThreadedEngine:
         self.transcriber = transcriber
         self.vad = vad
         self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tpu")
+        # reference parity: 3 concurrent file-segment decodes (main.py:429-430)
+        self.concurrency_hint = 3
 
     async def transcribe(
         self,
@@ -64,6 +66,9 @@ class ThreadedEngine:
 
         loop = asyncio.get_running_loop()
         return await loop.run_in_executor(self._pool, run)
+
+    def warmup(self, budgets=(15, 200, 256)) -> None:
+        self.transcriber.warmup(budgets=budgets)
 
     def shutdown(self) -> None:
         self._pool.shutdown(wait=False, cancel_futures=True)

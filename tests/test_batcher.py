@@ -1,0 +1,132 @@
+"""Continuous batcher tests: token parity with the single-request engine,
+concurrent-session correctness, slot reuse, batched VAD."""
+
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonicscribe_tpu.engine.batcher import BatchedEngine
+from sonicscribe_tpu.engine.transcriber import Transcriber
+from sonicscribe_tpu.models import tiny
+from sonicscribe_tpu.models.glm_asr import init_params
+from sonicscribe_tpu.models.tokenizer import ByteTokenizer
+from sonicscribe_tpu.vad.model import EnergyVad
+
+SR = 16000
+
+
+def _audio(seconds, f=300.0, seed=None):
+    t = np.arange(int(SR * seconds)) / SR
+    x = 0.3 * np.sin(2 * np.pi * f * t)
+    if seed is not None:
+        x = x + 0.01 * np.random.default_rng(seed).standard_normal(len(t))
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    cfg = tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tr = Transcriber(cfg, params, ByteTokenizer(cfg), prefill_buckets=(64, 128))
+    return cfg, tr
+
+
+def _run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+class TestBatcherParity:
+    def test_single_request_token_parity(self, stack):
+        cfg, tr = stack
+        audio = _audio(0.5, seed=1)
+        golden = tr.transcribe(audio, SR, max_new_tokens=10)
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32)
+            try:
+                return await eng.transcribe(audio, SR, max_new_tokens=10)
+            finally:
+                eng.shutdown()
+
+        got = _run(go())
+        np.testing.assert_array_equal(got.tokens, golden.tokens)
+        assert got.text == golden.text
+
+    def test_concurrent_requests_match_sequential(self, stack):
+        """8 concurrent requests on 4 slots must each match the unbatched
+        result token-for-token (slot reuse + batched decode correctness)."""
+        cfg, tr = stack
+        audios = [_audio(0.3 + 0.07 * i, f=200 + 60 * i, seed=i) for i in range(8)]
+        golden = [tr.transcribe(a, SR, max_new_tokens=8).tokens for a in audios]
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32)
+            try:
+                results = await asyncio.gather(
+                    *[eng.transcribe(a, SR, max_new_tokens=8) for a in audios]
+                )
+                return [r.tokens for r in results], dict(eng.stats)
+            finally:
+                eng.shutdown()
+
+        got, stats = _run(go())
+        for i, (g, w) in enumerate(zip(got, golden)):
+            np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
+        assert stats["prefills"] == 8
+
+    def test_hotword_bias_in_batch(self, stack):
+        cfg, tr = stack
+        strong = Transcriber(
+            tr.cfg, tr.params, tr.tokenizer,
+            prefill_buckets=(64, 128), hotword_bias_strength=1e9,
+        )
+        audio = _audio(0.4)
+        zid = tr.tokenizer.encode("z")[0]
+
+        async def go():
+            eng = BatchedEngine(strong, EnergyVad(), slots=2, max_decode_tokens=16)
+            try:
+                r_biased, r_plain = await asyncio.gather(
+                    eng.transcribe(audio, SR, max_new_tokens=4, hotwords=["z"]),
+                    eng.transcribe(audio, SR, max_new_tokens=4),
+                )
+                return r_biased, r_plain
+            finally:
+                eng.shutdown()
+
+        r_biased, r_plain = _run(go())
+        assert all(t == zid for t in r_biased.tokens)
+        assert not all(t == zid for t in r_plain.tokens)
+
+    def test_batched_vad(self, stack):
+        cfg, tr = stack
+
+        def speech(sec):
+            t = np.arange(int(SR * sec)) / SR
+            env = 0.5 * (1 + np.sin(2 * np.pi * 3 * t))
+            return (0.25 * env * sum(np.sin(2 * np.pi * f * t) for f in (200, 700, 1500))).astype(np.float32)
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=2)
+            try:
+                win = 10240  # 640 ms gate window
+                quiet = (0.0005 * np.random.default_rng(0).standard_normal(win)).astype(np.float32)
+                # warm both streams' noise floors with a quiet window first
+                (p0q, s0), (p1q, s1) = await asyncio.gather(
+                    eng.vad_window_prob(quiet, None),
+                    eng.vad_window_prob(quiet, None),
+                )
+                (p0, _), (p1, _) = await asyncio.gather(
+                    eng.vad_window_prob(speech(0.64), s0),
+                    eng.vad_window_prob(quiet, s1),
+                )
+                return p0, p1
+            finally:
+                eng.shutdown()
+
+        p_speech, p_quiet = _run(go())
+        assert p_speech > 0.7
+        assert p_quiet < 0.4

@@ -47,10 +47,9 @@ from sonicscribe_tpu.engine.transcriber import (
     MAX_SUFFIX_TOKENS,
     Transcriber,
     TranscribeResult,
-    assemble_prompt,
 )
 from sonicscribe_tpu.models.config import GlmAsrConfig
-from sonicscribe_tpu.models.glm_asr import decode_step, prefill_kv
+from sonicscribe_tpu.models.glm_asr import decode_step, embed_tokens, prefill_kv
 from sonicscribe_tpu.models.tokenizer import build_prompt
 from sonicscribe_tpu.vad.model import WINDOW_SAMPLES
 
@@ -60,9 +59,46 @@ _DECODE_K_CHOICES = (1, 2, 4, 8, 16, 32, 64)
 _VAD_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
 
+def _resolve_quietly(future: asyncio.Future, result) -> None:
+    """set_result unless the client already cancelled/closed."""
+    if not future.done():
+        future.set_result(result)
+
+
 # =====================================================================
 # jitted programs
 # =====================================================================
+
+
+def assemble_prompt_batch(
+    params,
+    cfg: GlmAsrConfig,
+    mels,  # [B, T_bucket, n_mels]
+    n_frames,  # [B] i32
+    prefix_ids,  # [P] (shared across the batch)
+    suffix_ids,  # [B, MAX_SUFFIX_TOKENS]
+    suffix_lens,  # [B] i32
+):
+    """Batched prompt assembly: one encoder pass for B requests; per-row
+    suffix placement at the row's true audio-token offset via vmap'd
+    dynamic_update_slice."""
+    from sonicscribe_tpu.models.glm_asr import encode_audio
+
+    audio_embeds, n_toks = encode_audio(params, cfg, mels, n_frames)  # [B,A,D]
+    B, A, D = audio_embeds.shape
+    P = prefix_ids.shape[0]
+    MS = suffix_ids.shape[1]
+    buf = jnp.zeros((B, P + A + MS, D), audio_embeds.dtype)
+    buf = buf.at[:, :P].set(embed_tokens(params, prefix_ids)[None])
+    buf = jax.lax.dynamic_update_slice(buf, audio_embeds, (0, P, 0))
+    suffix_embeds = embed_tokens(params, suffix_ids)  # [B, MS, D]
+
+    def put(row_buf, s_emb, n_tok):
+        return jax.lax.dynamic_update_slice(row_buf, s_emb, (P + n_tok, 0))
+
+    buf = jax.vmap(put)(buf, suffix_embeds, n_toks)
+    totals = P + n_toks + suffix_lens
+    return buf, totals
 
 
 @partial(
@@ -70,45 +106,52 @@ _VAD_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
     static_argnames=("cfg",),
     donate_argnums=(7, 8, 9, 10, 11, 12, 13),
 )
-def _prefill_slot_program(
+def _prefill_slots_program(
     params,
     cfg: GlmAsrConfig,
-    mel,  # [1, T_bucket, n_mels]
-    n_frames,  # [] i32
+    mels,  # [B, T_bucket, n_mels]
+    n_frames,  # [B] i32
     prefix_ids,  # [P]
-    suffix_ids,  # [MAX_SUFFIX_TOKENS]
-    suffix_len,  # [] i32
-    cache_k,  # [L, S, MAX, nkv, hd]   (donated)
+    suffix_ids,  # [B, MAX_SUFFIX_TOKENS]
+    suffix_lens,  # [B] i32
+    cache_k,  # [L, S+1, MAX, nkv, hd]  (donated; row S is the trash slot)
     cache_v,  # (donated)
-    cache_len,  # [S] i32               (donated)
-    last_tok,  # [S] i32               (donated)
-    out_tokens,  # [S, MAX_NEW] i32    (donated)
-    n_emitted,  # [S] i32              (donated)
-    done,  # [S] bool                  (donated)
-    bias_full,  # [S, V] f32
-    budgets,  # [S] i32
-    slot,  # [] i32
+    cache_len,  # [S+1] i32             (donated)
+    last_tok,  # [S+1] i32              (donated)
+    out_tokens,  # [S+1, MAX_NEW] i32   (donated)
+    n_emitted,  # [S+1] i32             (donated)
+    done,  # [S+1] bool                 (donated)
+    bias_full,  # [S+1, V] f32
+    budgets,  # [S+1] i32
+    slots,  # [B] i32 target slot per row (padding rows point at the trash slot)
 ):
-    """Admit one session into `slot`: encoder + prefill + KV write + token0,
-    all device-side."""
-    buf, total_len = assemble_prompt(
-        params, cfg, mel, n_frames, prefix_ids, suffix_ids, suffix_len
+    """Admit B sessions in ONE program: one batched encoder+prefill pass
+    (weights stream from HBM once for the whole group), then per-row KV
+    writes into the rows' slots and the first greedy token into the
+    device-side output buffers."""
+    buf, totals = assemble_prompt_batch(
+        params, cfg, mels, n_frames, prefix_ids, suffix_ids, suffix_lens
     )
-    ks, vs, last_logits = prefill_kv(params, cfg, buf, total_len)
-    cache_k = jax.lax.dynamic_update_slice(
-        cache_k, ks.astype(cache_k.dtype), (0, slot, 0, 0, 0)
-    )
-    cache_v = jax.lax.dynamic_update_slice(
-        cache_v, vs.astype(cache_v.dtype), (0, slot, 0, 0, 0)
-    )
-    cache_len = cache_len.at[slot].set(total_len[0])
+    ks, vs, last_logits = prefill_kv(params, cfg, buf, totals)  # [L,B,Lb,...]
 
-    tok0 = jnp.argmax(last_logits[0] + bias_full[slot], -1).astype(jnp.int32)
-    last_tok = last_tok.at[slot].set(tok0)
-    out_tokens = out_tokens.at[slot].set(0)  # clear the slot's row
-    out_tokens = out_tokens.at[slot, 0].set(tok0)
-    n_emitted = n_emitted.at[slot].set(1)
-    done = done.at[slot].set((tok0 == cfg.eos_id) | (budgets[slot] <= 1))
+    B = mels.shape[0]
+    tok0 = jnp.argmax(
+        last_logits + bias_full[slots], axis=-1
+    ).astype(jnp.int32)  # [B]
+    for i in range(B):  # static B, unrolled
+        slot = slots[i]
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, ks[:, i : i + 1].astype(cache_k.dtype), (0, slot, 0, 0, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, vs[:, i : i + 1].astype(cache_v.dtype), (0, slot, 0, 0, 0)
+        )
+        cache_len = cache_len.at[slot].set(totals[i])
+        last_tok = last_tok.at[slot].set(tok0[i])
+        out_tokens = out_tokens.at[slot].set(0)
+        out_tokens = out_tokens.at[slot, 0].set(tok0[i])
+        n_emitted = n_emitted.at[slot].set(1)
+        done = done.at[slot].set((tok0[i] == cfg.eos_id) | (budgets[slot] <= 1))
     return cache_k, cache_v, cache_len, last_tok, out_tokens, n_emitted, done
 
 
@@ -248,16 +291,28 @@ class BatchedEngine:
         dtype = cache_dtype or jax.tree.leaves(transcriber.params)[0].dtype
         if dtype == jnp.int8:  # quantized params: cache stays bf16
             dtype = jnp.bfloat16
-        shape = (dec.n_layers, slots, self.MAX_LEN, dec.n_kv_heads, dec.head_dim)
+        # slot index S is the TRASH slot: padding rows of batched prefills
+        # land there; it is permanently done and never scheduled
+        rows = slots + 1
+        shape = (dec.n_layers, rows, self.MAX_LEN, dec.n_kv_heads, dec.head_dim)
         self.cache_k = jnp.zeros(shape, dtype)
         self.cache_v = jnp.zeros(shape, dtype)
-        self.cache_len = jnp.zeros((slots,), jnp.int32)
-        self.last_tok = jnp.zeros((slots,), jnp.int32)
-        self.out_tokens = jnp.zeros((slots, max_decode_tokens), jnp.int32)
-        self.n_emitted = jnp.zeros((slots,), jnp.int32)
-        self.done = jnp.ones((slots,), bool)
-        self.bias = jnp.zeros((slots, dec.vocab_size), jnp.float32)
-        self.budgets = jnp.zeros((slots,), jnp.int32)
+        self.cache_len = jnp.zeros((rows,), jnp.int32)
+        self.last_tok = jnp.zeros((rows,), jnp.int32)
+        self.out_tokens = jnp.zeros((rows, max_decode_tokens), jnp.int32)
+        self.n_emitted = jnp.zeros((rows,), jnp.int32)
+        self.done = jnp.ones((rows,), bool)
+        self.bias = jnp.zeros((rows, dec.vocab_size), jnp.float32)
+        self.budgets = jnp.zeros((rows,), jnp.int32)
+        self.trash_slot = slots
+
+        # (bucket, B) prefill-program sizes compiled at warmup; groups are
+        # split to compiled sizes at runtime so no request ever pays a
+        # surprise multi-second XLA compile
+        self.prefill_batch_choices = tuple(
+            b for b in (1, 2, 4, 8, 16) if b <= max(1, slots)
+        )
+        self._compiled_prefill: set[tuple[int, int]] = set()
 
         self.slots = [_SlotState() for _ in range(slots)]
         self._vad_program = None
@@ -339,32 +394,65 @@ class BatchedEngine:
         else:
             loop.call_later(2.0, task.cancel)
 
-    def warmup(self, budgets=(15, 200, 256)) -> None:
-        """Synchronously compile the per-bucket prefill programs and the
-        decode-k program grid (callable before the event loop starts)."""
+    def warmup(self, budgets=(15, 200, 256), full: bool = False) -> None:
+        """Synchronously compile the prefill-program grid and the decode-k
+        programs (callable before the event loop starts).
+
+        Default grid: every batch size for the SMALLEST mel bucket (the
+        high-rate interim path) and B=1 for the others; `full=True` compiles
+        every (bucket, B) pair (production servers; slower warmup).
+        """
         del budgets  # decode cost is per-k, not per-budget
         tr = self.transcriber
         prompt = build_prompt(tr.tokenizer, self.cfg)
         suffix = np.full((MAX_SUFFIX_TOKENS,), self.cfg.pad_id, np.int32)
         suffix[: len(prompt.suffix_ids)] = prompt.suffix_ids[:MAX_SUFFIX_TOKENS]
         dtype = self.cache_k.dtype
+        smallest = min(tr.buckets)
         for bucket in tr.buckets:
-            mel = jnp.zeros((1, bucket, tr.mel_cfg.n_mels), dtype)
-            self._dispatch_prefill(
-                mel, bucket, np.asarray(prompt.prefix_ids), suffix,
-                len(prompt.suffix_ids), 0,
+            choices = (
+                self.prefill_batch_choices
+                if (full or bucket == smallest)
+                else (1,)
             )
+            for B in choices:
+                mels = jnp.zeros((B, bucket, tr.mel_cfg.n_mels), dtype)
+                self._dispatch_prefill_group(
+                    mels,
+                    np.full((B,), bucket, np.int32),
+                    np.asarray(prompt.prefix_ids),
+                    np.tile(suffix, (B, 1)),
+                    np.full((B,), len(prompt.suffix_ids), np.int32),
+                    [self.trash_slot] * B,
+                )
+                self._compiled_prefill.add((bucket, B))
         for k in _DECODE_K_CHOICES:
             self._dispatch_decode(k)
+        # VAD batch program: one jitted fn, but XLA compiles per batch bucket
+        n_sub = 10240 // WINDOW_SAMPLES  # 640 ms gate window
+        if self._vad_program is None or self._vad_n_sub != n_sub:
+            self._vad_program = _make_vad_batch_program(self.vad, n_sub)
+            self._vad_n_sub = n_sub
+        for B in _VAD_BATCH_BUCKETS:
+            self._vad_program(
+                self.vad.params,
+                jnp.zeros((B, n_sub, WINDOW_SAMPLES), jnp.float32),
+                self.vad.init_state(B),
+            )
         # reset slot state touched by warmup
         self.cache_len = jnp.zeros_like(self.cache_len)
         self.n_emitted = jnp.zeros_like(self.n_emitted)
         self.done = jnp.ones_like(self.done)
-        jax.block_until_ready(self.cache_k)
+        # IMPORTANT: on the remote-tunnel TPU, block_until_ready does NOT wait
+        # (ops/compiles queue server-side; only transfers synchronize). A real
+        # transfer of the last dispatched op drains the whole compile queue.
+        np.asarray(self.cache_len)
 
     # ---------------- device dispatch helpers ----------------
 
-    def _dispatch_prefill(self, mel, frames, prefix, suffix, suffix_len, slot_idx):
+    def _dispatch_prefill_group(
+        self, mels, frames, prefix, suffixes, suffix_lens, slot_list
+    ):
         (
             self.cache_k,
             self.cache_v,
@@ -373,14 +461,14 @@ class BatchedEngine:
             self.out_tokens,
             self.n_emitted,
             self.done,
-        ) = _prefill_slot_program(
+        ) = _prefill_slots_program(
             self.transcriber.params,
             self.cfg,
-            mel,
+            mels,
             jnp.asarray(frames, jnp.int32),
             jnp.asarray(prefix),
-            jnp.asarray(suffix),
-            jnp.asarray(suffix_len, jnp.int32),
+            jnp.asarray(suffixes),
+            jnp.asarray(suffix_lens, jnp.int32),
             self.cache_k,
             self.cache_v,
             self.cache_len,
@@ -390,7 +478,7 @@ class BatchedEngine:
             self.done,
             self.bias,
             self.budgets,
-            jnp.asarray(slot_idx, jnp.int32),
+            jnp.asarray(slot_list, jnp.int32),
         )
 
     def _dispatch_decode(self, k: int):
@@ -431,18 +519,26 @@ class BatchedEngine:
             while self._running:
                 did_work = False
 
-                # 1) batched VAD (latency-critical, cheap)
+                # 1) batched VAD (latency-critical, cheap); a 3 ms coalescing
+                # window lets lockstep sessions' gate windows share one batch
                 vad_batch = []
+                if not self._vad_requests.empty():
+                    await asyncio.sleep(0.003)
                 while not self._vad_requests.empty():
                     vad_batch.append(self._vad_requests.get_nowait())
                 if vad_batch:
                     await loop.run_in_executor(None, self._run_vad_batch, vad_batch)
                     did_work = True
 
-                # 2) admit new requests into free slots (no host roundtrips)
-                while not self._requests.empty() and self._n_active < self.S:
-                    req = self._requests.get_nowait()
-                    self._admit(req)  # pure dispatch, non-blocking
+                # 2) admit new requests into free slots, GROUPED by mel
+                # bucket so one prefill program serves the whole group
+                pending: list[_TranscribeReq] = []
+                while not self._requests.empty() and (
+                    self._n_active + len(pending) < self.S
+                ):
+                    pending.append(self._requests.get_nowait())
+                if pending:
+                    self._admit_grouped(pending)
                     did_work = True
 
                 # 3) one K-step decode for all active slots + ONE status fetch
@@ -470,9 +566,10 @@ class BatchedEngine:
 
     # ---------------- device work ----------------
 
-    def _admit(self, req: _TranscribeReq) -> None:
+    def _prepare_request(self, req: _TranscribeReq):
+        """Host+dispatch prep: -> (bucket, mel [T,nm], frames, suffix,
+        suffix_len, bias_row) or None on failure (future gets the error)."""
         tr = self.transcriber
-        slot_idx = next(i for i, s in enumerate(self.slots) if not s.active)
         try:
             x = tr.prepare_audio(req.audio, req.sample_rate)
             from sonicscribe_tpu.audio.mel import frame_count, log_mel_spectrogram
@@ -482,7 +579,7 @@ class BatchedEngine:
             if frames > bucket:
                 frames = bucket
                 x = x[: bucket * tr.mel_cfg.hop_length]
-            mel = log_mel_spectrogram(x, tr.mel_cfg, pad_to_frames=bucket)[None]
+            mel = log_mel_spectrogram(x, tr.mel_cfg, pad_to_frames=bucket)
             if jax.tree.leaves(tr.params)[0].dtype == jnp.bfloat16:
                 mel = mel.astype(jnp.bfloat16)
 
@@ -491,24 +588,84 @@ class BatchedEngine:
             s_ids = prompt.suffix_ids[:MAX_SUFFIX_TOKENS]
             suffix[: len(s_ids)] = s_ids
             bias_row = np.asarray(tr._hotword_logit_bias(req.hotwords), np.float32)
+            return bucket, mel, frames, prompt.prefix_ids, suffix, len(s_ids), bias_row
+        except Exception as e:
+            logger.exception("request prep failed")
+            if not req.future.done():
+                req.future.get_loop().call_soon_threadsafe(req.future.set_exception, e)
+            return None
 
-            # per-slot bias/budget rows must land BEFORE the prefill program
-            self.bias = self.bias.at[slot_idx].set(jnp.asarray(bias_row))
+    def _admit_grouped(self, reqs: list[_TranscribeReq]) -> None:
+        """Group by mel bucket, split to compiled batch sizes, dispatch one
+        prefill program per group."""
+        by_bucket: dict[int, list] = {}
+        for req in reqs:
+            prep = self._prepare_request(req)
+            if prep is None:
+                continue
+            by_bucket.setdefault(prep[0], []).append((req, prep))
+
+        for bucket, items in by_bucket.items():
+            idx = 0
+            while idx < len(items):
+                rest = len(items) - idx
+                # largest COMPILED batch size <= remaining (B=1 always compiled)
+                B = max(
+                    (b for b in self.prefill_batch_choices
+                     if b <= rest and (bucket, b) in self._compiled_prefill),
+                    default=1,
+                )
+                self._admit_group(bucket, items[idx : idx + B], B)
+                idx += B
+
+    def _admit_group(self, bucket: int, items: list, B: int) -> None:
+        tr = self.transcriber
+        free = [i for i, s in enumerate(self.slots) if not s.active]
+        slot_list = free[: len(items)]
+        assert len(slot_list) == len(items), "scheduler overfilled slots"
+
+        mels = jnp.stack([prep[1] for _, prep in items] +
+                         [items[0][1][1]] * (B - len(items)))
+        frames = np.asarray(
+            [prep[2] for _, prep in items] + [bucket] * (B - len(items)), np.int32
+        )
+        prefix = items[0][1][3]
+        suffixes = np.stack(
+            [prep[4] for _, prep in items]
+            + [items[0][1][4]] * (B - len(items))
+        )
+        suffix_lens = np.asarray(
+            [prep[5] for _, prep in items] + [items[0][1][5]] * (B - len(items)),
+            np.int32,
+        )
+        padded_slots = slot_list + [self.trash_slot] * (B - len(items))
+
+        # per-slot bias/budget rows must land BEFORE the prefill program
+        for (req, prep), slot_idx in zip(items, slot_list):
+            self.bias = self.bias.at[slot_idx].set(jnp.asarray(prep[6]))
             self.budgets = self.budgets.at[slot_idx].set(req.max_new_tokens)
-            self._dispatch_prefill(
-                mel, frames, prompt.prefix_ids, suffix, len(s_ids), slot_idx
-            )
 
+        try:
+            self._dispatch_prefill_group(
+                mels, frames, prefix, suffixes, suffix_lens, padded_slots
+            )
+        except Exception as e:
+            logger.exception("prefill group failed")
+            for req, _ in items:
+                if not req.future.done():
+                    req.future.get_loop().call_soon_threadsafe(
+                        req.future.set_exception, e
+                    )
+            return
+
+        for (req, prep), slot_idx in zip(items, slot_list):
             st = self.slots[slot_idx]
             st.request = req
             st.budget = req.max_new_tokens
             st.active = True
             st.steps_seen = 0
-            self.stats["prefills"] += 1
-        except Exception as e:
-            logger.exception("admit failed")
-            if not req.future.done():
-                req.future.get_loop().call_soon_threadsafe(req.future.set_exception, e)
+        self.stats["prefills"] += len(items)
+        self.stats["prefill_programs"] = self.stats.get("prefill_programs", 0) + 1
 
     def _decode_tick(self) -> None:
         # K = largest choice <= min remaining budget among active slots
@@ -592,10 +749,9 @@ class BatchedEngine:
             self.stats["vad_batches"] += 1
             for j, r in enumerate(batch):
                 new_state_j = jax.tree.map(lambda x: x[j : j + 1], new_states)
-                if not r.future.done():
-                    r.future.get_loop().call_soon_threadsafe(
-                        r.future.set_result, (float(probs_host[j]), new_state_j)
-                    )
+                r.future.get_loop().call_soon_threadsafe(
+                    _resolve_quietly, r.future, (float(probs_host[j]), new_state_j)
+                )
         except Exception as e:
             logger.exception("vad batch failed")
             for r in batch:

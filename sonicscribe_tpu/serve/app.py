@@ -245,6 +245,15 @@ async def ws_audio(request: web.Request) -> web.WebSocketResponse:
     app["sessions"][client_id] = session
     logger.info("[%s] ws connected", client_id)
 
+    tap = None
+    if cfg.debug_audio_enabled:
+        from sonicscribe_tpu.serve.debug_tap import DebugAudioTap
+
+        tap = DebugAudioTap(cfg.debug_audio_base_dir, client_id, cfg.audio_sample_rate)
+        await send_json(
+            {"type": "debug_audio_info", "enabled": True, "path": tap.path}
+        )
+
     await send_json(
         {
             "type": "connection_established",
@@ -270,6 +279,8 @@ async def ws_audio(request: web.Request) -> web.WebSocketResponse:
 
             if msg.type == WSMsgType.BINARY:
                 last_activity = time.monotonic()
+                if tap is not None:
+                    tap.write(msg.data)
                 for frame in _repair_frames(msg.data, cfg.audio_chunk_size):
                     await session.on_audio(frame)
             elif msg.type == WSMsgType.TEXT:
@@ -288,6 +299,8 @@ async def ws_audio(request: web.Request) -> web.WebSocketResponse:
                 break
     finally:
         app["sessions"].pop(client_id, None)
+        if tap is not None:
+            tap.close()
         try:
             await asyncio.wait_for(session.flush(), timeout=10.0)
         except (asyncio.TimeoutError, Exception):

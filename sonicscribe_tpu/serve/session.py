@@ -71,6 +71,12 @@ class StreamSession:
         self._last_interim_start: Optional[int] = None
         self._decode_lock = asyncio.Lock()
         self._tasks: set[asyncio.Task] = set()
+        # VAD windows are processed by a per-session worker task so that (a)
+        # ingest never blocks on the device and (b) windows from MANY sessions
+        # arrive at the engine concurrently and batch into one program
+        # (the engine's batched gating op, SURVEY.md §2.9)
+        self._vad_queue: asyncio.Queue = asyncio.Queue()
+        self._vad_worker_task: Optional[asyncio.Task] = None
         self.active = True
 
     # ------------------------------------------------------------------
@@ -80,11 +86,36 @@ class StreamSession:
     async def on_audio(self, data: bytes) -> None:
         """One size-repaired 2048-byte frame."""
         chunk = self.buffer.add_chunk(data)
+        # per-chunk RMS/peak telemetry (reference main.py:687-699), sampled
+        if logger.isEnabledFor(logging.DEBUG) and chunk.chunk_id % 100 == 0:
+            from sonicscribe_tpu.native import rms_peak
+
+            rms, peak = rms_peak(data)
+            logger.debug(
+                "[%s] chunk %d rms=%.4f peak=%.4f",
+                self.client_id, chunk.chunk_id, rms, peak,
+            )
         self._window_chunks.append(chunk.chunk_id)
         if len(self._window_chunks) >= self.config.vad_process_window:
             window_ids = self._window_chunks[: self.config.vad_process_window]
             self._window_chunks = self._window_chunks[self.config.vad_process_window :]
-            await self._process_vad_window(window_ids)
+            self._vad_queue.put_nowait(window_ids)
+            if self._vad_worker_task is None or self._vad_worker_task.done():
+                self._vad_worker_task = asyncio.ensure_future(self._vad_worker())
+
+    async def _vad_worker(self) -> None:
+        """Processes this session's VAD windows in order, off the ingest path."""
+        while self.active:
+            try:
+                window_ids = await self._vad_queue.get()
+            except (asyncio.CancelledError, RuntimeError):
+                return
+            try:
+                await self._process_vad_window(window_ids)
+            except asyncio.CancelledError:
+                return
+            except Exception:
+                logger.exception("[%s] vad window failed", self.client_id)
 
     async def _process_vad_window(self, window_ids: list[int]) -> None:
         first, last = window_ids[0], window_ids[-1]
@@ -135,7 +166,7 @@ class StreamSession:
         if self._decode_lock.locked():
             return  # drop interim if a decode is already in flight
         async with self._decode_lock:
-            t0 = self.clock()
+            t0 = time.monotonic()  # wall time: processing_delay is a latency
             try:
                 result = await self.engine.transcribe(
                     audio,
@@ -168,7 +199,7 @@ class StreamSession:
                     * self.config.audio_chunk_duration_ms
                     / 1000.0,
                     "confidence": "tentative",
-                    "processing_delay": self.clock() - t0,
+                    "processing_delay": time.monotonic() - t0,
                 }
             )
 
@@ -262,13 +293,25 @@ class StreamSession:
 
     async def flush(self) -> None:
         """Finalize an open segment (used on close)."""
+        try:
+            await asyncio.wait_for(self.flush_vad(), timeout=5.0)
+        except asyncio.TimeoutError:
+            pass
         if self.buffer.current_segment is not None:
             seg = self.buffer.finalize_segment(self.buffer.newest_chunk_id)
             if seg is not None:
                 await self._commit_segment(seg)
 
+    async def flush_vad(self) -> None:
+        """Wait for queued VAD windows to be processed (used by flush/tests)."""
+        while not self._vad_queue.empty():
+            await asyncio.sleep(0.01)
+
     async def cleanup(self) -> None:
         self.active = False
+        if self._vad_worker_task is not None:
+            self._vad_worker_task.cancel()
+            self._vad_worker_task = None
         for t in list(self._tasks):
             t.cancel()
         if self._tasks:

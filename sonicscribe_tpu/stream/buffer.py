@@ -69,11 +69,14 @@ class ChunkBuffer:
         max_segments: int = 3,
         interim_chunks: int = 20,
         clock=time.monotonic,
+        chunk_bytes: int = 2048,
+        use_native: bool = True,
     ):
         self.chunk_duration_s = chunk_duration_ms / 1000.0
         self.max_buffer_seconds = max_buffer_seconds
         self.max_segments = max_segments
         self.interim_chunks = interim_chunks
+        self.chunk_bytes = chunk_bytes
         self._clock = clock
         self._chunks: Dict[int, AudioChunk] = {}
         self._next_id = 0
@@ -82,10 +85,31 @@ class ChunkBuffer:
         self.segments: List[SpeechSegment] = []
         self.current_segment: Optional[SpeechSegment] = None
 
+        # native C++ ring storage for the hot per-chunk path; Python dict
+        # fallback when the library isn't built (see sonicscribe_tpu/native)
+        self._ring = None
+        if use_native:
+            try:
+                from sonicscribe_tpu.native import NativeChunkRing
+
+                if NativeChunkRing.available():
+                    capacity = int(max_buffer_seconds / self.chunk_duration_s) + 64
+                    self._ring = NativeChunkRing(capacity, chunk_bytes)
+            except Exception:  # pragma: no cover - fallback is equivalent
+                self._ring = None
+
+    @property
+    def backend(self) -> str:
+        return "native" if self._ring is not None else "python"
+
     # ---- chunk ingestion ----
 
     def add_chunk(self, data: bytes) -> AudioChunk:
         now = self._clock()
+        if self._ring is not None and len(data) == self.chunk_bytes:
+            cid = self._ring.push(data)
+            self._next_id = cid + 1
+            return AudioChunk(cid, now, data)
         chunk = AudioChunk(self._next_id, now, data)
         self._chunks[chunk.chunk_id] = chunk
         self._next_id += 1
@@ -112,6 +136,8 @@ class ChunkBuffer:
         return self._next_id - 1
 
     def chunk_count(self) -> int:
+        if self._ring is not None:
+            return self._ring.next_id - self._ring.oldest_id
         return len(self._chunks)
 
     # ---- range access ----
@@ -123,6 +149,9 @@ class ChunkBuffer:
         ]
 
     def audio_in_range(self, start_id: int, end_id: int) -> np.ndarray:
+        if self._ring is not None:
+            # fused read + int16->float32 conversion in C++
+            return self._ring.read_f32(start_id, end_id)
         data = b"".join(c.data for c in self.chunks_in_range(start_id, end_id))
         return pcm16_bytes_to_float(data)
 

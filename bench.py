@@ -19,8 +19,18 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        ),
+    )
 
     from sonicscribe_tpu.engine.transcriber import Transcriber
     from sonicscribe_tpu.models import nano, tiny

@@ -155,3 +155,49 @@ def log_mel_spectrogram(
     if pad_to_frames is not None and pad_to_frames > n_frames:
         log_spec = jnp.pad(log_spec, ((0, pad_to_frames - n_frames), (0, 0)))
     return log_spec
+
+
+def log_mel_batch(
+    audio: jnp.ndarray,  # [B, N] f32, rows zero-padded beyond their true length
+    n_samples: jnp.ndarray,  # [B] i32 true sample counts
+    cfg: MelConfig = MelConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched log-mel with PER-ROW true-length masking and per-row dynamic
+    range normalization. -> (mel [B, N//hop, n_mels] zero-padded, n_frames [B]).
+
+    Used inside the continuous batcher's prefill-from-ring program so many
+    sessions' windows share one MXU pass; numerics identical to
+    log_mel_spectrogram row-wise (tested).
+    """
+    B, N = audio.shape
+    half = cfg.n_fft // 2
+    padded = jnp.pad(audio, ((0, 0), (half, half)), mode="reflect")
+    T = N // cfg.hop_length
+
+    weights = jnp.asarray(_dft_conv_weights(cfg))  # [2*bins, n_fft]
+    out = jax.lax.conv_general_dilated(
+        padded[:, None, :],
+        weights.reshape(weights.shape[0], 1, cfg.n_fft),
+        window_strides=(cfg.hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )[:, :, :T]  # [B, 2*bins, T]
+    n_bins = cfg.n_freq_bins
+    power = out[:, :n_bins] ** 2 + out[:, n_bins:] ** 2
+
+    fb = jnp.asarray(mel_filter_bank(cfg))
+    mel = jnp.einsum("bft,fm->btm", power, fb, preferred_element_type=jnp.float32)
+
+    n_frames = (n_samples // cfg.hop_length).astype(jnp.int32)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, T), 1) < n_frames[:, None]
+    )[..., None]
+
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    row_max = jnp.max(
+        jnp.where(valid, log_spec, -jnp.inf), axis=(1, 2), keepdims=True
+    )
+    log_spec = jnp.maximum(log_spec, row_max - cfg.dynamic_range_db_factor)
+    log_spec = (log_spec + 4.0) / 4.0
+    return jnp.where(valid, log_spec, 0.0), jnp.maximum(n_frames, 1)

@@ -101,34 +101,28 @@ def assemble_prompt_batch(
     return buf, totals
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg",),
-    donate_argnums=(7, 8, 9, 10, 11, 12, 13),
-)
-def _prefill_slots_program(
+def _prefill_common(
     params,
     cfg: GlmAsrConfig,
-    mels,  # [B, T_bucket, n_mels]
-    n_frames,  # [B] i32
-    prefix_ids,  # [P]
-    suffix_ids,  # [B, MAX_SUFFIX_TOKENS]
-    suffix_lens,  # [B] i32
-    cache_k,  # [L, S+1, MAX, nkv, hd]  (donated; row S is the trash slot)
-    cache_v,  # (donated)
-    cache_len,  # [S+1] i32             (donated)
-    last_tok,  # [S+1] i32              (donated)
-    out_tokens,  # [S+1, MAX_NEW] i32   (donated)
-    n_emitted,  # [S+1] i32             (donated)
-    done,  # [S+1] bool                 (donated)
-    bias_full,  # [S+1, V] f32
-    budgets,  # [S+1] i32
-    slots,  # [B] i32 target slot per row (padding rows point at the trash slot)
+    mels,
+    n_frames,
+    prefix_ids,
+    suffix_ids,
+    suffix_lens,
+    cache_k,
+    cache_v,
+    cache_len,
+    last_tok,
+    out_tokens,
+    n_emitted,
+    done,
+    bias_full,
+    budgets,
+    slots,
 ):
-    """Admit B sessions in ONE program: one batched encoder+prefill pass
-    (weights stream from HBM once for the whole group), then per-row KV
-    writes into the rows' slots and the first greedy token into the
-    device-side output buffers."""
+    """Shared core: batched encoder+prefill pass (weights stream from HBM once
+    for the whole group), per-row KV writes into the rows' slots, first greedy
+    token into the device-side output buffers."""
     buf, totals = assemble_prompt_batch(
         params, cfg, mels, n_frames, prefix_ids, suffix_ids, suffix_lens
     )
@@ -153,6 +147,82 @@ def _prefill_slots_program(
         n_emitted = n_emitted.at[slot].set(1)
         done = done.at[slot].set((tok0[i] == cfg.eos_id) | (budgets[slot] <= 1))
     return cache_k, cache_v, cache_len, last_tok, out_tokens, n_emitted, done
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnums=(7, 8, 9, 10, 11, 12, 13),
+)
+def _prefill_slots_program(
+    params,
+    cfg: GlmAsrConfig,
+    mels,  # [B, T_bucket, n_mels]
+    n_frames,  # [B] i32
+    prefix_ids,  # [P]
+    suffix_ids,  # [B, MAX_SUFFIX_TOKENS]
+    suffix_lens,  # [B] i32
+    cache_k,  # [L, S+1, MAX, nkv, hd]  (donated; row S is the trash slot)
+    cache_v,  # (donated)
+    cache_len,  # [S+1] i32             (donated)
+    last_tok,  # [S+1] i32              (donated)
+    out_tokens,  # [S+1, MAX_NEW] i32   (donated)
+    n_emitted,  # [S+1] i32             (donated)
+    done,  # [S+1] bool                 (donated)
+    bias_full,  # [S+1, V] f32
+    budgets,  # [S+1] i32
+    slots,  # [B] i32 target slot per row (padding rows point at the trash slot)
+):
+    """Admit B sessions whose mel came from the host (the file path)."""
+    return _prefill_common(
+        params, cfg, mels, n_frames, prefix_ids, suffix_ids, suffix_lens,
+        cache_k, cache_v, cache_len, last_tok, out_tokens, n_emitted, done,
+        bias_full, budgets, slots,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "mel_cfg", "n_chunks", "mel_dtype"),
+    donate_argnums=(8, 9, 10, 11, 12, 13, 14),
+)
+def _prefill_ring_program(
+    params,
+    cfg: GlmAsrConfig,
+    mel_cfg,
+    ring,  # [streams+1, 2R, 1024] i16
+    stream_idx,  # [B] i32
+    start_chunk,  # [B] i32
+    chunk_count,  # [B] i32 true chunks (<= n_chunks)
+    prefix_ids,  # [P]
+    cache_k,
+    cache_v,
+    cache_len,
+    last_tok,
+    out_tokens,
+    n_emitted,
+    done,
+    bias_full,
+    budgets,
+    slots,  # [B] i32
+    suffix_ids,  # [B, MAX_SUFFIX_TOKENS]
+    suffix_lens,  # [B] i32
+    n_chunks: int,
+    mel_dtype=jnp.float32,
+):
+    """Admit B STREAM sessions straight from the device audio ring: slice +
+    peak-normalize + batched mel + encoder + prefill, zero audio upload."""
+    from sonicscribe_tpu.engine.ring import ring_prompt_inputs
+
+    mels, n_frames = ring_prompt_inputs(
+        ring, cfg, mel_cfg, stream_idx, start_chunk, chunk_count, n_chunks
+    )
+    return _prefill_common(
+        params, cfg, mels.astype(mel_dtype), n_frames, prefix_ids,
+        suffix_ids, suffix_lens,
+        cache_k, cache_v, cache_len, last_tok, out_tokens, n_emitted, done,
+        bias_full, budgets, slots,
+    )
 
 
 @partial(
@@ -267,6 +337,25 @@ class _VadReq:
     future: asyncio.Future
 
 
+@dataclass
+class _VadRingReq:
+    stream_idx: int
+    start_chunk: int
+    future: asyncio.Future
+
+
+@dataclass
+class _RingTranscribeReq:
+    stream_idx: int
+    start_chunk: int
+    chunk_count: int
+    max_new_tokens: int
+    hotwords: Optional[list[str]]
+    duration_s: float
+    future: asyncio.Future
+    t_enqueue: float
+
+
 class BatchedEngine:
     """Continuous-batching engine; same interface as ThreadedEngine."""
 
@@ -277,6 +366,7 @@ class BatchedEngine:
         slots: int = 8,
         max_decode_tokens: int = 256,
         cache_dtype=None,
+        n_streams: int = 64,
     ):
         self.transcriber = transcriber
         self.vad = vad
@@ -320,6 +410,34 @@ class BatchedEngine:
         self._requests: asyncio.Queue[_TranscribeReq] = asyncio.Queue()
         self._vad_requests: asyncio.Queue[_VadReq] = asyncio.Queue()
         self._wake = asyncio.Event()
+
+        # ---- device audio ring (realtime streams; see engine/ring.py) ----
+        from sonicscribe_tpu.engine.ring import (
+            CHUNK_SAMPLES,
+            RING_CHUNKS,
+            make_vad_ring_program,
+        )
+
+        self.has_ring = True
+        self.N_STREAMS = n_streams
+        self.trash_stream = n_streams
+        self.ring = jnp.zeros(
+            (n_streams + 1, 2 * RING_CHUNKS, CHUNK_SAMPLES), jnp.int16
+        )
+        self._free_streams = list(range(n_streams))
+        self.vad_states = vad.init_state(n_streams)  # device-resident
+        self._vad_ring_program = make_vad_ring_program(
+            vad, window_chunks=10
+        )
+        self._ingest_pending: list[tuple[int, int, np.ndarray]] = []
+        self._vad_ring_requests: asyncio.Queue[_VadRingReq] = asyncio.Queue()
+        self._ring_requests: asyncio.Queue[_RingTranscribeReq] = asyncio.Queue()
+        # chunk-bucket sizes: frame buckets are multiples of 128 frames
+        # = 20 chunks exactly (128 * 160 / 1024)
+        self.chunk_buckets = sorted(
+            b * 160 // CHUNK_SAMPLES for b in transcriber.buckets
+        )
+        self._compiled_ring_prefill: set[tuple[int, int]] = set()
         self._task: Optional[asyncio.Task] = None
         self._running = False
         self.stats = {"ticks": 0, "decode_steps": 0, "prefills": 0, "vad_batches": 0}
@@ -332,7 +450,10 @@ class BatchedEngine:
         loop = asyncio.get_running_loop()
         if self._task is not None and getattr(self, "_loop", None) is not loop:
             # event loop changed (tests / restart): rebind queues and task
-            self._task.cancel()
+            try:
+                self._task.cancel()
+            except RuntimeError:
+                pass  # previous loop already closed
             self._task = None
         if self._task is None:
             self._loop = loop
@@ -368,6 +489,78 @@ class BatchedEngine:
         await self.start()
         fut = asyncio.get_running_loop().create_future()
         await self._vad_requests.put(_VadReq(np.asarray(audio, np.float32), state, fut))
+        self._wake.set()
+        return await fut
+
+    # ---------------- device audio-ring interface (realtime streams) ----
+
+    def alloc_stream(self) -> Optional[int]:
+        """Claim a ring stream row; None if the server is at capacity."""
+        if not self._free_streams:
+            return None
+        idx = self._free_streams.pop()
+        # reset the stream's device VAD state row
+        init_row = self.vad.init_state(1)
+        self.vad_states = jax.tree.map(
+            lambda full, row: full.at[idx : idx + 1].set(row),
+            self.vad_states,
+            init_row,
+        )
+        return idx
+
+    def free_stream(self, idx: int) -> None:
+        if idx is not None and idx not in self._free_streams:
+            self._free_streams.append(idx)
+
+    def ingest(self, stream_idx: int, chunk_id: int, pcm: bytes) -> None:
+        """Queue one 64 ms int16 chunk for the next packed upload. Sync, no
+        device interaction — the scheduler ships ALL sessions' chunks in one
+        transfer per tick."""
+        arr = np.frombuffer(pcm[: 2048], dtype="<i2")
+        if arr.shape[0] < 1024:
+            arr = np.pad(arr, (0, 1024 - arr.shape[0]))
+        self._ingest_pending.append((stream_idx, chunk_id, arr))
+        try:
+            self._wake.set()
+        except RuntimeError:
+            # _wake still bound to a closed loop (restart/tests); the next
+            # awaited engine call rebinds and the scheduler drains the list
+            pass
+
+    async def vad_window_ring(self, stream_idx: int, start_chunk: int) -> float:
+        """Gate probability for the 10-chunk window starting at start_chunk,
+        sliced on device; state is device-resident per stream."""
+        await self.start()
+        fut = asyncio.get_running_loop().create_future()
+        await self._vad_ring_requests.put(_VadRingReq(stream_idx, start_chunk, fut))
+        self._wake.set()
+        return await fut
+
+    async def transcribe_ring(
+        self,
+        stream_idx: int,
+        start_chunk: int,
+        chunk_count: int,
+        max_new_tokens: int,
+        hotwords: Optional[list[str]] = None,
+        duration_s: float = 0.0,
+    ) -> TranscribeResult:
+        """Transcribe ring chunks [start_chunk, start_chunk+chunk_count) —
+        zero audio upload."""
+        await self.start()
+        fut = asyncio.get_running_loop().create_future()
+        await self._ring_requests.put(
+            _RingTranscribeReq(
+                stream_idx,
+                start_chunk,
+                chunk_count,
+                min(max_new_tokens, self.MAX_NEW),
+                hotwords,
+                duration_s or chunk_count * 1024 / 16000.0,
+                fut,
+                time.perf_counter(),
+            )
+        )
         self._wake.set()
         return await fut
 
@@ -439,10 +632,89 @@ class BatchedEngine:
                 jnp.zeros((B, n_sub, WINDOW_SAMPLES), jnp.float32),
                 self.vad.init_state(B),
             )
+
+        # ---- ring-path programs ----
+        from sonicscribe_tpu.engine.ring import _SCATTER_BUCKETS, scatter_chunks_program
+
+        for M in _SCATTER_BUCKETS:
+            self.ring = scatter_chunks_program(
+                self.ring,
+                jnp.zeros((M, 1024), jnp.int16),
+                jnp.full((M,), self.trash_stream, jnp.int32),
+                jnp.zeros((M,), jnp.int32),
+            )
+        for B in _VAD_BATCH_BUCKETS:
+            _, self.vad_states = self._vad_ring_program(
+                self.ring, self.vad.params, self.vad_states,
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B,), bool),
+            )
+        mel_dtype = (
+            jnp.bfloat16
+            if jax.tree.leaves(tr.params)[0].dtype == jnp.bfloat16
+            else jnp.float32
+        )
+        smallest_cb = min(self.chunk_buckets)
+        for cb in self.chunk_buckets:
+            choices = (
+                self.prefill_batch_choices
+                if (full or cb == smallest_cb)
+                else (1,)
+            )
+            for B in choices:
+                (
+                    self.cache_k, self.cache_v, self.cache_len, self.last_tok,
+                    self.out_tokens, self.n_emitted, self.done,
+                ) = _prefill_ring_program(
+                    tr.params, self.cfg, tr.mel_cfg, self.ring,
+                    jnp.full((B,), self.trash_stream, jnp.int32),
+                    jnp.zeros((B,), jnp.int32),
+                    jnp.ones((B,), jnp.int32),
+                    jnp.asarray(prompt.prefix_ids),
+                    self.cache_k, self.cache_v, self.cache_len, self.last_tok,
+                    self.out_tokens, self.n_emitted, self.done,
+                    self.bias, self.budgets,
+                    jnp.full((B,), self.trash_slot, jnp.int32),
+                    jnp.tile(suffix, (B, 1)),
+                    jnp.full((B,), len(prompt.suffix_ids), jnp.int32),
+                    n_chunks=cb,
+                    mel_dtype=mel_dtype,
+                )
+                self._compiled_ring_prefill.add((cb, B))
+        # END-TO-END EXERCISE: run one real admit->decode->reap cycle so every
+        # small utility op (bias row writes, status math, token-buffer fetch)
+        # is compiled too — on the remote AOT compiler even trivial first-use
+        # programs cost seconds, which would otherwise hit the first session.
+        self.bias = self.bias.at[0].set(jnp.zeros_like(self.bias[0]))
+        self.budgets = self.budgets.at[0].set(3)
+        cb0 = min(self.chunk_buckets)
+        (
+            self.cache_k, self.cache_v, self.cache_len, self.last_tok,
+            self.out_tokens, self.n_emitted, self.done,
+        ) = _prefill_ring_program(
+            tr.params, self.cfg, tr.mel_cfg, self.ring,
+            jnp.full((1,), self.trash_stream, jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.ones((1,), jnp.int32),
+            jnp.asarray(prompt.prefix_ids),
+            self.cache_k, self.cache_v, self.cache_len, self.last_tok,
+            self.out_tokens, self.n_emitted, self.done,
+            self.bias, self.budgets,
+            jnp.zeros((1,), jnp.int32),  # slot 0
+            jnp.tile(suffix, (1, 1)),
+            jnp.full((1,), len(prompt.suffix_ids), jnp.int32),
+            n_chunks=cb0,
+            mel_dtype=mel_dtype,
+        )
+        status = np.asarray(self._dispatch_decode(4))
+        _ = np.asarray(self.out_tokens)  # the reap fetch
+        del status
+
         # reset slot state touched by warmup
         self.cache_len = jnp.zeros_like(self.cache_len)
         self.n_emitted = jnp.zeros_like(self.n_emitted)
         self.done = jnp.ones_like(self.done)
+        self.budgets = jnp.zeros_like(self.budgets)
         # IMPORTANT: on the remote-tunnel TPU, block_until_ready does NOT wait
         # (ops/compiles queue server-side; only transfers synchronize). A real
         # transfer of the last dispatched op drains the whole compile queue.
@@ -517,34 +789,48 @@ class BatchedEngine:
         loop = asyncio.get_running_loop()
         try:
             while self._running:
-                did_work = False
-
-                # 1) batched VAD (latency-critical, cheap); a 3 ms coalescing
-                # window lets lockstep sessions' gate windows share one batch
-                vad_batch = []
-                if not self._vad_requests.empty():
+                # a 3 ms coalescing window lets lockstep sessions' gate
+                # windows and chunks share one batch/upload
+                if (
+                    not self._vad_requests.empty()
+                    or not self._vad_ring_requests.empty()
+                ):
                     await asyncio.sleep(0.003)
+
+                vad_batch = []
                 while not self._vad_requests.empty():
                     vad_batch.append(self._vad_requests.get_nowait())
-                if vad_batch:
-                    await loop.run_in_executor(None, self._run_vad_batch, vad_batch)
-                    did_work = True
-
-                # 2) admit new requests into free slots, GROUPED by mel
-                # bucket so one prefill program serves the whole group
+                ring_vad_batch = []
+                while not self._vad_ring_requests.empty():
+                    ring_vad_batch.append(self._vad_ring_requests.get_nowait())
+                free = self.S - self._n_active
+                ring_pending: list[_RingTranscribeReq] = []
+                while not self._ring_requests.empty() and len(ring_pending) < free:
+                    ring_pending.append(self._ring_requests.get_nowait())
+                free -= len(ring_pending)
                 pending: list[_TranscribeReq] = []
-                while not self._requests.empty() and (
-                    self._n_active + len(pending) < self.S
-                ):
+                while not self._requests.empty() and len(pending) < free:
                     pending.append(self._requests.get_nowait())
-                if pending:
-                    self._admit_grouped(pending)
-                    did_work = True
 
-                # 3) one K-step decode for all active slots + ONE status fetch
-                if self._n_active:
-                    await loop.run_in_executor(None, self._decode_tick)
-                    did_work = True
+                did_work = bool(
+                    self._ingest_pending
+                    or vad_batch
+                    or ring_vad_batch
+                    or ring_pending
+                    or pending
+                    or self._n_active
+                )
+                if did_work:
+                    # one executor hop per tick: dispatch every phase, then
+                    # ONE combined device_get round trip for all results
+                    await loop.run_in_executor(
+                        None,
+                        self._tick,
+                        vad_batch,
+                        ring_vad_batch,
+                        ring_pending,
+                        pending,
+                    )
 
                 self.stats["ticks"] += 1
                 if not did_work:
@@ -564,7 +850,215 @@ class BatchedEngine:
                 if s.active and s.request and not s.request.future.done():
                     s.request.future.set_exception(RuntimeError("batcher crashed"))
 
+    def _tick(
+        self,
+        vad_batch: list[_VadReq],
+        ring_vad_batch: list[_VadRingReq],
+        ring_pending: list[_RingTranscribeReq],
+        pending: list[_TranscribeReq],
+    ) -> None:
+        """One full scheduler tick on the device thread. Dispatch order
+        matters (chunks land before VAD/prefill reads them); results come
+        back in a single combined transfer."""
+        # 0) ship ALL sessions' new audio chunks in ONE packed upload
+        if self._ingest_pending:
+            self._scatter_ingest()
+
+        # 1) VAD programs (dispatch only)
+        vad_done = self._run_vad_batch(vad_batch) if vad_batch else None
+        ring_vad_probs = (
+            self._dispatch_vad_ring(ring_vad_batch) if ring_vad_batch else None
+        )
+
+        # 2) admits (dispatch only)
+        if ring_pending:
+            self._admit_ring_grouped(ring_pending)
+        if pending:
+            self._admit_grouped(pending)
+
+        # 3) decode K steps (dispatch only)
+        status_dev = self._dispatch_decode_tick() if self._n_active else None
+
+        # 4) ONE round trip for every result produced this tick
+        fetch = {}
+        if ring_vad_probs is not None:
+            fetch["ring_vad"] = ring_vad_probs
+        if status_dev is not None:
+            fetch["status"] = status_dev
+        host = jax.device_get(fetch) if fetch else {}
+        del vad_done
+
+        if "ring_vad" in host:
+            probs_host = host["ring_vad"]
+            self.stats["vad_batches"] += 1
+            for j, r in enumerate(ring_vad_batch):
+                r.future.get_loop().call_soon_threadsafe(
+                    _resolve_quietly, r.future, float(probs_host[j])
+                )
+        if "status" in host:
+            self._reap_decode(host["status"])
+
     # ---------------- device work ----------------
+
+    def _scatter_ingest(self) -> None:
+        """Pack every pending chunk from every session into one int16 upload
+        + one scatter program (dispatch only; no host wait)."""
+        from sonicscribe_tpu.engine.ring import (
+            _SCATTER_BUCKETS,
+            scatter_chunks_program,
+        )
+
+        pending, self._ingest_pending = self._ingest_pending, []
+        i = 0
+        while i < len(pending):
+            group = pending[i : i + _SCATTER_BUCKETS[-1]]
+            i += len(group)
+            M = next(b for b in _SCATTER_BUCKETS if b >= len(group))
+            packed = np.zeros((M, 1024), np.int16)
+            stream_idx = np.full((M,), self.trash_stream, np.int32)
+            chunk_ids = np.zeros((M,), np.int32)
+            for j, (s, c, arr) in enumerate(group):
+                packed[j] = arr
+                stream_idx[j] = s
+                chunk_ids[j] = c
+            self.ring = scatter_chunks_program(
+                self.ring, jnp.asarray(packed), jnp.asarray(stream_idx),
+                jnp.asarray(chunk_ids),
+            )
+            self.stats["scatter_programs"] = self.stats.get("scatter_programs", 0) + 1
+
+    def _dispatch_vad_ring(self, batch: list[_VadRingReq]):
+        """Dispatch the batched ring-VAD program; returns the device probs
+        array (fetched later in the tick's combined transfer)."""
+        try:
+            B = next(b for b in _VAD_BATCH_BUCKETS if b >= len(batch))
+            stream_idx = np.full((B,), self.trash_stream, np.int32)
+            start = np.zeros((B,), np.int32)
+            active = np.zeros((B,), bool)
+            for j, r in enumerate(batch):
+                stream_idx[j] = r.stream_idx
+                start[j] = r.start_chunk
+                active[j] = True
+            # padding rows read row 0's state but never write it back
+            safe_idx = np.where(stream_idx >= self.N_STREAMS, 0, stream_idx)
+            probs, self.vad_states = self._vad_ring_program(
+                self.ring,
+                self.vad.params,
+                self.vad_states,
+                jnp.asarray(safe_idx),
+                jnp.asarray(start),
+                jnp.asarray(active),
+            )
+            return probs
+        except Exception as e:
+            logger.exception("ring vad batch failed")
+            for r in batch:
+                if not r.future.done():
+                    r.future.get_loop().call_soon_threadsafe(r.future.set_exception, e)
+            return None
+
+    def _pick_chunk_bucket(self, count: int) -> int:
+        for b in self.chunk_buckets:
+            if count <= b:
+                return b
+        return self.chunk_buckets[-1]
+
+    def _admit_ring_grouped(self, reqs: list[_RingTranscribeReq]) -> None:
+        by_bucket: dict[int, list[_RingTranscribeReq]] = {}
+        for req in reqs:
+            bucket = self._pick_chunk_bucket(req.chunk_count)
+            by_bucket.setdefault(bucket, []).append(req)
+        for bucket, items in by_bucket.items():
+            idx = 0
+            while idx < len(items):
+                rest = len(items) - idx
+                B = max(
+                    (b for b in self.prefill_batch_choices
+                     if b <= rest and (bucket, b) in self._compiled_ring_prefill),
+                    default=1,
+                )
+                self._admit_ring_group(bucket, items[idx : idx + B], B)
+                idx += B
+
+    def _admit_ring_group(
+        self, bucket: int, items: list[_RingTranscribeReq], B: int
+    ) -> None:
+        tr = self.transcriber
+        free = [i for i, s in enumerate(self.slots) if not s.active]
+        slot_list = free[: len(items)]
+        assert len(slot_list) == len(items), "scheduler overfilled slots"
+
+        stream_idx = np.full((B,), self.trash_stream, np.int32)
+        start = np.zeros((B,), np.int32)
+        count = np.full((B,), 1, np.int32)
+        suffixes = np.full((B, MAX_SUFFIX_TOKENS), self.cfg.pad_id, np.int32)
+        suffix_lens = np.zeros((B,), np.int32)
+        padded_slots = slot_list + [self.trash_slot] * (B - len(items))
+        prefix = None
+
+        for j, req in enumerate(items):
+            prompt = build_prompt(tr.tokenizer, self.cfg, hotwords=req.hotwords)
+            prefix = prompt.prefix_ids
+            s_ids = prompt.suffix_ids[:MAX_SUFFIX_TOKENS]
+            suffixes[j, : len(s_ids)] = s_ids
+            suffix_lens[j] = len(s_ids)
+            stream_idx[j] = req.stream_idx
+            c = min(req.chunk_count, bucket)
+            # over-long windows keep the tail-truncation semantics of the
+            # host path (Transcriber clamp)
+            start[j] = req.start_chunk
+            count[j] = max(1, c)
+            bias_row = np.asarray(tr._hotword_logit_bias(req.hotwords), np.float32)
+            self.bias = self.bias.at[slot_list[j]].set(jnp.asarray(bias_row))
+            self.budgets = self.budgets.at[slot_list[j]].set(req.max_new_tokens)
+        if prefix is None:
+            prompt = build_prompt(tr.tokenizer, self.cfg)
+            prefix = prompt.prefix_ids
+
+        mel_dtype = (
+            jnp.bfloat16
+            if jax.tree.leaves(tr.params)[0].dtype == jnp.bfloat16
+            else jnp.float32
+        )
+        try:
+            (
+                self.cache_k, self.cache_v, self.cache_len, self.last_tok,
+                self.out_tokens, self.n_emitted, self.done,
+            ) = _prefill_ring_program(
+                tr.params,
+                self.cfg,
+                tr.mel_cfg,
+                self.ring,
+                jnp.asarray(stream_idx),
+                jnp.asarray(start),
+                jnp.asarray(count),
+                jnp.asarray(prefix),
+                self.cache_k, self.cache_v, self.cache_len, self.last_tok,
+                self.out_tokens, self.n_emitted, self.done,
+                self.bias, self.budgets,
+                jnp.asarray(padded_slots, jnp.int32),
+                jnp.asarray(suffixes),
+                jnp.asarray(suffix_lens),
+                n_chunks=bucket,
+                mel_dtype=mel_dtype,
+            )
+        except Exception as e:
+            logger.exception("ring prefill group failed")
+            for req in items:
+                if not req.future.done():
+                    req.future.get_loop().call_soon_threadsafe(
+                        req.future.set_exception, e
+                    )
+            return
+
+        for req, slot_idx in zip(items, slot_list):
+            st = self.slots[slot_idx]
+            st.request = req
+            st.budget = req.max_new_tokens
+            st.active = True
+            st.steps_seen = 0
+        self.stats["prefills"] += len(items)
+        self.stats["prefill_programs"] = self.stats.get("prefill_programs", 0) + 1
 
     def _prepare_request(self, req: _TranscribeReq):
         """Host+dispatch prep: -> (bucket, mel [T,nm], frames, suffix,
@@ -667,37 +1161,51 @@ class BatchedEngine:
         self.stats["prefills"] += len(items)
         self.stats["prefill_programs"] = self.stats.get("prefill_programs", 0) + 1
 
-    def _decode_tick(self) -> None:
-        # K = largest choice <= min remaining budget among active slots
-        # (so short interim decodes aren't over-decoded, while long file
-        # decodes amortize the ~27 ms status-fetch RTT over up to 64 steps)
+    def _dispatch_decode_tick(self):
+        """Pick K and dispatch the decode program; returns the device status
+        array (fetched in the tick's combined transfer)."""
         remaining = [
             max(1, s.budget - 1 - s.steps_seen) for s in self.slots if s.active
         ]
-        # the device enforces exact budget/EOS stops; this only bounds waste
+        # the device enforces exact budget/EOS stops; k only shapes latency:
+        # smallest choice >= min remaining finishes the most-urgent slot in
+        # ONE tick (one status RTT); capped low while new requests wait so a
+        # long tick never delays an admit
         min_rem = max(1, min(remaining)) if remaining else 1
-        k = max(c for c in _DECODE_K_CHOICES if c <= max(min_rem, 1))
+        k = next((c for c in _DECODE_K_CHOICES if c >= min_rem),
+                 _DECODE_K_CHOICES[-1])
+        if (
+            not self._requests.empty()
+            or not self._ring_requests.empty()
+            or not self._vad_ring_requests.empty()
+            or not self._vad_requests.empty()
+        ):
+            k = min(k, 16)
 
-        status = np.asarray(self._dispatch_decode(k))  # ONE host fetch
+        status = self._dispatch_decode(k)
         self.stats["decode_steps"] += k
         for s in self.slots:
             if s.active:
                 s.steps_seen += k
+        return status
 
+    def _reap_decode(self, status: np.ndarray) -> None:
         finished = [
             i
             for i, s in enumerate(self.slots)
             if s.active and status[i] < 0
         ]
         if finished:
-            # fetch all finished rows in one transfer
-            rows = np.asarray(self.out_tokens[jnp.asarray(finished)])
-            for row, i in zip(rows, finished):
-                self._finish(i, row, -int(status[i]) - 1)
+            # fixed-shape fetch of the whole token buffer: avoids compiling a
+            # gather per finished-count (each first-use compile costs seconds
+            # on the remote AOT compiler) and is one bounded transfer (~33 KB)
+            rows = np.asarray(self.out_tokens)
+            for i in finished:
+                self._finish(i, rows[i], -int(status[i]) - 1)
 
     def _finish(self, slot_idx: int, row: np.ndarray, n_tokens: int) -> None:
         st = self.slots[slot_idx]
-        req: _TranscribeReq = st.request
+        req = st.request
         out = []
         for t in row[:n_tokens]:
             t = int(t)
@@ -705,7 +1213,10 @@ class BatchedEngine:
                 break
             out.append(t)
         text = self.transcriber.tokenizer.decode(out)
-        duration = len(req.audio) / req.sample_rate
+        if isinstance(req, _RingTranscribeReq):
+            duration = req.duration_s
+        else:
+            duration = len(req.audio) / req.sample_rate
         dt = time.perf_counter() - req.t_enqueue
         result = TranscribeResult(
             text=text,

@@ -24,6 +24,7 @@ import argparse
 import asyncio
 import json
 import logging
+import os
 import time
 import uuid
 from typing import Optional
@@ -448,6 +449,15 @@ def main(argv=None):
         help="skip startup compilation of the (bucket, budget) program grid",
     )
     args = parser.parse_args(argv)
+
+    # persistent XLA compilation cache: warmup drops from minutes to seconds
+    # on every restart after the first
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.sonicscribe_jax_cache")),
+    )
 
     config = AppConfig()
     if args.host:

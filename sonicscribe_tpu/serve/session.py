@@ -63,7 +63,13 @@ class StreamSession:
         )
         self.vad_enabled = True
         self.hotwords: list[str] = []
-        self.vad_state = None  # device VAD model state, threaded per session
+        self.vad_state = None  # device VAD model state (non-ring engines)
+        # device audio-ring stream slot (BatchedEngine): audio is shipped to
+        # the device once per chunk (packed across sessions) and every VAD
+        # window / interim / final is sliced on device — no re-uploads
+        self.stream_idx = None
+        if getattr(engine, "has_ring", False):
+            self.stream_idx = engine.alloc_stream()
         self._window_chunks: list[int] = []  # chunk ids awaiting a VAD decision
         self._last_interim_t = 0.0
         self._saved_interim_text = ""
@@ -86,6 +92,8 @@ class StreamSession:
     async def on_audio(self, data: bytes) -> None:
         """One size-repaired 2048-byte frame."""
         chunk = self.buffer.add_chunk(data)
+        if self.stream_idx is not None:
+            self.engine.ingest(self.stream_idx, chunk.chunk_id, data)
         # per-chunk RMS/peak telemetry (reference main.py:687-699), sampled
         if logger.isEnabledFor(logging.DEBUG) and chunk.chunk_id % 100 == 0:
             from sonicscribe_tpu.native import rms_peak
@@ -126,8 +134,13 @@ class StreamSession:
             await self._maybe_interim()
             return
 
-        audio = self.buffer.audio_in_range(first, last)
-        prob, self.vad_state = await self.engine.vad_window_prob(audio, self.vad_state)
+        if self.stream_idx is not None:
+            prob = await self.engine.vad_window_ring(self.stream_idx, first)
+        else:
+            audio = self.buffer.audio_in_range(first, last)
+            prob, self.vad_state = await self.engine.vad_window_prob(
+                audio, self.vad_state
+            )
         ev = self.gate.update(prob, first, last)
 
         if ev.state_changed and ev.speech_start_chunk is not None:
@@ -162,17 +175,35 @@ class StreamSession:
         self._last_interim_t = now
         self._spawn(self._run_interim(*window))
 
+    async def _transcribe_range(
+        self, audio, start_id: int, end_id: int, max_new_tokens: int
+    ):
+        """Dispatch to the zero-upload ring path when available."""
+        if self.stream_idx is not None:
+            return await self.engine.transcribe_ring(
+                self.stream_idx,
+                start_id,
+                end_id - start_id + 1,
+                max_new_tokens,
+                hotwords=self.hotwords or None,
+                duration_s=(end_id - start_id + 1)
+                * self.config.audio_chunk_duration_ms / 1000.0,
+            )
+        return await self.engine.transcribe(
+            audio,
+            self.config.audio_sample_rate,
+            max_new_tokens=max_new_tokens,
+            hotwords=self.hotwords or None,
+        )
+
     async def _run_interim(self, audio, start_id: int, end_id: int) -> None:
         if self._decode_lock.locked():
             return  # drop interim if a decode is already in flight
         async with self._decode_lock:
             t0 = time.monotonic()  # wall time: processing_delay is a latency
             try:
-                result = await self.engine.transcribe(
-                    audio,
-                    self.config.audio_sample_rate,
-                    max_new_tokens=self.config.interim_max_new_tokens,
-                    hotwords=self.hotwords or None,
+                result = await self._transcribe_range(
+                    audio, start_id, end_id, self.config.interim_max_new_tokens
                 )
             except Exception:
                 logger.exception("[%s] interim decode failed", self.client_id)
@@ -212,13 +243,12 @@ class StreamSession:
             audio, start_id, end_id = self.buffer.committed_audio(seg)
             duration = len(audio) / self.config.audio_sample_rate
             max_d = self.config.max_segment_duration
+            chunk_s = self.config.audio_chunk_duration_ms / 1000.0
             try:
                 if duration <= max_d:
-                    result = await self.engine.transcribe(
-                        audio,
-                        self.config.audio_sample_rate,
-                        max_new_tokens=self.config.final_token_budget(duration),
-                        hotwords=self.hotwords or None,
+                    result = await self._transcribe_range(
+                        audio, start_id, end_id,
+                        self.config.final_token_budget(duration),
                     )
                     seg.transcript = result.text
                     await self._send_committed(
@@ -226,31 +256,30 @@ class StreamSession:
                         seg.start_time, seg.end_time,
                     )
                 else:
-                    # split long finals into _part_i sub-segments
+                    # split long finals into chunk-aligned _part_i sub-segments
                     # (reference connection_manager.py:204-242)
                     n_parts = int(duration // max_d) + (1 if duration % max_d else 0)
-                    samples_per = len(audio) // n_parts
-                    chunks_per = (end_id - start_id + 1) // n_parts
+                    total_chunks = end_id - start_id + 1
+                    chunks_per = max(1, total_chunks // n_parts)
+                    spc = self.config.samples_per_chunk
                     for i in range(n_parts):
-                        lo = i * samples_per
-                        hi = len(audio) if i == n_parts - 1 else (i + 1) * samples_per
-                        part = await self.engine.transcribe(
-                            audio[lo:hi],
-                            self.config.audio_sample_rate,
-                            max_new_tokens=self.config.final_token_budget(
-                                (hi - lo) / self.config.audio_sample_rate
-                            ),
-                            hotwords=self.hotwords or None,
-                        )
                         c_lo = start_id + i * chunks_per
                         c_hi = end_id if i == n_parts - 1 else c_lo + chunks_per - 1
+                        lo = (c_lo - start_id) * spc
+                        hi = min(len(audio), (c_hi - start_id + 1) * spc)
+                        part = await self._transcribe_range(
+                            audio[lo:hi], c_lo, c_hi,
+                            self.config.final_token_budget(
+                                (c_hi - c_lo + 1) * chunk_s
+                            ),
+                        )
                         await self._send_committed(
                             f"{seg.segment_id}_part_{i}",
                             part.text,
                             c_lo,
                             c_hi,
-                            seg.start_time + lo / self.config.audio_sample_rate,
-                            seg.start_time + hi / self.config.audio_sample_rate,
+                            c_lo * chunk_s,
+                            (c_hi + 1) * chunk_s,
                         )
             except Exception:
                 logger.exception("[%s] committed decode failed", self.client_id)
@@ -309,6 +338,9 @@ class StreamSession:
 
     async def cleanup(self) -> None:
         self.active = False
+        if self.stream_idx is not None:
+            self.engine.free_stream(self.stream_idx)
+            self.stream_idx = None
         if self._vad_worker_task is not None:
             self._vad_worker_task.cancel()
             self._vad_worker_task = None

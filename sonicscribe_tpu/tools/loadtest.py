@@ -105,6 +105,12 @@ async def run_load(
                     await s.on_audio(frame)
                 except Exception:
                     errors += 1
+        if not realtime and (c + 1) % config.vad_process_window == 0:
+            # accelerated mode: keep the synthetic stream clock coherent with
+            # gate processing by draining all sessions' VAD queues per window
+            await asyncio.gather(
+                *[s.flush_vad() for s in sessions], return_exceptions=True
+            )
     # drain: finalize open segments
     await asyncio.gather(*[s.flush() for s in sessions], return_exceptions=True)
     for s in sessions:

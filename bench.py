@@ -127,6 +127,44 @@ def main():
     loop.close()
     batched_rtf = dt / (n_seg * seg_seconds)
 
+    # ---- realtime multi-stream serving (north-star metric #1):
+    # N concurrent 64 ms-chunk sessions through the device audio ring +
+    # continuous batcher, realtime-paced, measuring tentative latency ----
+    stream_metrics = {}
+    if "--no-streams" not in sys.argv:
+        try:
+            from sonicscribe_tpu.config import AppConfig
+            from sonicscribe_tpu.tools.loadtest import run_load
+
+            n_streams = 4 if quick else 50
+            tr_s = Transcriber(
+                cfg, params, tokenizer,
+                prefill_buckets=(128, 512),  # interim + final buckets only
+            )
+            s_engine = BatchedEngine(
+                tr_s, EnergyVad(), slots=32, max_decode_tokens=200
+            )
+            s_engine.warmup()
+            app_cfg = AppConfig()
+            loop2 = asyncio.new_event_loop()
+            loop2.run_until_complete(  # absorb scheduling warm-in
+                run_load(s_engine, app_cfg, n_streams, 8.0, realtime=True)
+            )
+            m = loop2.run_until_complete(
+                run_load(s_engine, app_cfg, n_streams, 12.0, realtime=True)
+            )
+            s_engine.shutdown()
+            loop2.close()
+            stream_metrics = {
+                "realtime_streams": n_streams,
+                "stream_interim_p50_ms": m["interim_p50_ms"],
+                "stream_interim_p95_ms": m["interim_p95_ms"],
+                "stream_committed": m["committed_count"],
+                "stream_ingest_lag_s": m["max_ingest_lag_s"],
+            }
+        except Exception as e:  # keep the primary metric robust
+            stream_metrics = {"stream_error": str(e)[:200]}
+
     result = {
         "metric": "file_rtf_batched",
         "value": round(batched_rtf, 5),
@@ -140,6 +178,7 @@ def main():
         "model_params": param_count(params),
         "quant": quant,
         "backend": jax.default_backend(),
+        **stream_metrics,
     }
     print(json.dumps(result))
 

@@ -74,16 +74,36 @@ async def cors_middleware(request: web.Request, handler):
 
 async def health(request: web.Request) -> web.Response:
     app = request.app
+    engine = app.get("engine")
     return web.json_response(
         {
-            "status": "ok" if app.get("engine") else "initializing",
-            "model_loaded": app.get("engine") is not None,
+            "status": "ok" if engine else "initializing",
+            "model_loaded": engine is not None,
             "vad_loaded": app.get("vad") is not None,
             "model_info": app.get("model_info", {}),
             "active_sessions": len(app["sessions"]),
+            "engine_stats": getattr(engine, "stats", {}),
             "config": app["config"].protocol_constants(),
         }
     )
+
+
+async def debug_profile(request: web.Request) -> web.Response:
+    """Capture a jax.profiler trace for N seconds (SURVEY.md §5.1: the
+    reference has only ad-hoc CUDA-event timing; this exposes real tracing).
+    Fetch with:  curl 'http://host/debug/profile?seconds=3'  then open the
+    trace directory with TensorBoard / Perfetto."""
+    import jax
+
+    seconds = min(float(request.query.get("seconds", "3")), 30.0)
+    trace_dir = request.query.get(
+        "dir", os.path.join(os.getcwd(), "profile_traces")
+    )
+    os.makedirs(trace_dir, exist_ok=True)
+    jax.profiler.start_trace(trace_dir)
+    await asyncio.sleep(seconds)
+    jax.profiler.stop_trace()
+    return web.json_response({"trace_dir": trace_dir, "seconds": seconds})
 
 
 async def debug_config(request: web.Request) -> web.Response:
@@ -362,9 +382,24 @@ def build_app(config: AppConfig, engine, vad, model_info: dict | None = None) ->
     app["sessions"] = {}
     app.router.add_get("/health", health)
     app.router.add_get("/debug/config", debug_config)
+    app.router.add_get("/debug/profile", debug_profile)
     app.router.add_post("/vad/config", vad_config)
     app.router.add_post("/transcribe/file", transcribe_file)
     app.router.add_get("/ws/audio", ws_audio)
+
+    # web UI (vanilla ES modules; no build step — the reference's webpack dev
+    # server existed to proxy/bundle, which aiohttp static serving replaces)
+    frontend_dir = os.path.normpath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "frontend")
+    )
+    if os.path.isdir(frontend_dir):
+        index_path = os.path.join(frontend_dir, "index.html")
+
+        async def index(_request):
+            return web.FileResponse(index_path)
+
+        app.router.add_get("/", index)
+        app.router.add_static("/static", frontend_dir)
     return app
 
 

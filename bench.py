@@ -105,8 +105,9 @@ def main():
     seg_seconds = seg_bucket * 160 / sr
     tr_b = Transcriber(cfg, params, tokenizer, prefill_buckets=(seg_bucket,))
     tr_b._zero_bias = jnp.asarray(no_eos)
-    engine = BatchedEngine(tr_b, EnergyVad(), slots=n_seg,
-                           max_decode_tokens=file_budget)
+    engine = BatchedEngine(tr_b, EnergyVad(), slots=8 if quick else 32,
+                           max_decode_tokens=file_budget,
+                           cache_len=None if quick else 1024)
     engine.warmup()
     segments = [
         (0.1 * rng.standard_normal(int(sr * seg_seconds))).astype(np.float32)
@@ -141,8 +142,12 @@ def main():
                 cfg, params, tokenizer,
                 prefill_buckets=(128, 512),  # interim + final buckets only
             )
+            # same slots + cache_len as the file engine -> the decode-K
+            # program grid is shared from the compile cache
             s_engine = BatchedEngine(
-                tr_s, EnergyVad(), slots=32, max_decode_tokens=200
+                tr_s, EnergyVad(), slots=4 if quick else 32,
+                max_decode_tokens=200 if quick else file_budget,
+                cache_len=None if quick else 1024,
             )
             s_engine.warmup()
             app_cfg = AppConfig()

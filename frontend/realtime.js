@@ -57,7 +57,8 @@ export class RealtimeChat {
 
   wsUrl() {
     const proto = location.protocol === "https:" ? "wss" : "ws";
-    return `${proto}://${location.host}${WS_PATH}`;
+    const resume = this.clientId ? `?resume=${this.clientId}` : "";
+    return `${proto}://${location.host}${WS_PATH}${resume}`;
   }
 
   async toggle() {
@@ -178,7 +179,8 @@ export class RealtimeChat {
     try { msg = JSON.parse(ev.data); } catch { return; }
     switch (msg.type) {
       case "connection_established":
-        this.status(`connected (${msg.client_id})`);
+        this.clientId = msg.client_id; // kept for ?resume= on reconnect
+        this.status(`connected (${msg.client_id})${msg.resumed ? " [resumed]" : ""}`);
         break;
       case "tentative_output":
         this.renderTentative(msg);

@@ -367,6 +367,7 @@ class BatchedEngine:
         max_decode_tokens: int = 256,
         cache_dtype=None,
         n_streams: int = 64,
+        cache_len: Optional[int] = None,
     ):
         self.transcriber = transcriber
         self.vad = vad
@@ -377,7 +378,9 @@ class BatchedEngine:
         dec = self.cfg.decoder
         max_audio_tokens = max(transcriber.buckets) // self.cfg.frames_per_audio_token
         self.max_prompt = 3 + max_audio_tokens + MAX_SUFFIX_TOKENS
-        self.MAX_LEN = self.max_prompt + max_decode_tokens
+        # cache_len may be overridden upward so engines with different bucket
+        # sets share identical decode-program shapes (one compile)
+        self.MAX_LEN = max(cache_len or 0, self.max_prompt + max_decode_tokens)
         dtype = cache_dtype or jax.tree.leaves(transcriber.params)[0].dtype
         if dtype == jnp.int8:  # quantized params: cache stays bf16
             dtype = jnp.bfloat16
@@ -964,6 +967,9 @@ class BatchedEngine:
         return self.chunk_buckets[-1]
 
     def _admit_ring_grouped(self, reqs: list[_RingTranscribeReq]) -> None:
+        # latency-priority: short-budget (interim) requests admit first so a
+        # burst of long finals never starves sub-second interim results
+        reqs = sorted(reqs, key=lambda r: r.max_new_tokens)
         by_bucket: dict[int, list[_RingTranscribeReq]] = {}
         for req in reqs:
             bucket = self._pick_chunk_bucket(req.chunk_count)

@@ -86,12 +86,3 @@ def quantize_params_int8(params: dict) -> dict:
         return node
 
     return walk(params)
-
-
-def quantized_bytes(params: dict) -> int:
-    import jax
-    import numpy as np
-
-    return sum(x.nbytes for x in jax.tree.leaves(params) if hasattr(x, "nbytes")) or int(
-        sum(np.prod(x.shape) for x in jax.tree.leaves(params))
-    )

@@ -249,22 +249,44 @@ def _repair_frames(data: bytes, chunk_size: int) -> list[bytes]:
     return frames or [b"\x00" * chunk_size]
 
 
+RESUME_WINDOW_S = 60.0  # detached sessions stay resumable this long
+
+
+def _sweep_detached(app) -> None:
+    now = time.monotonic()
+    for cid in [c for c, (t, _) in app["detached"].items() if now - t > RESUME_WINDOW_S]:
+        _, sess = app["detached"].pop(cid)
+        asyncio.ensure_future(sess.cleanup())
+
+
 async def ws_audio(request: web.Request) -> web.WebSocketResponse:
     app = request.app
     cfg: AppConfig = app["config"]
     ws = web.WebSocketResponse(heartbeat=None)
     await ws.prepare(request)
 
-    client_id = uuid.uuid4().hex[:12]
-
     async def send_json(msg: dict) -> None:
         if not ws.closed:
             await ws.send_str(json.dumps(msg, ensure_ascii=False))
 
-    session = StreamSession(client_id, cfg, app["engine"], send_json)
-    session.vad_enabled = True
+    # session resume (stretch beyond the reference, SURVEY.md §5.4: there a
+    # reconnect always started a fresh client_id): ?resume=<client_id>
+    # re-attaches a recently disconnected session's buffer/gate/hotwords
+    _sweep_detached(app)
+    resume_id = request.query.get("resume", "")
+    resumed = False
+    if resume_id and resume_id in app["detached"]:
+        _, session = app["detached"].pop(resume_id)
+        client_id = resume_id
+        session.send = send_json
+        session.active = True
+        resumed = True
+    else:
+        client_id = uuid.uuid4().hex[:12]
+        session = StreamSession(client_id, cfg, app["engine"], send_json)
+        session.vad_enabled = True
     app["sessions"][client_id] = session
-    logger.info("[%s] ws connected", client_id)
+    logger.info("[%s] ws connected%s", client_id, " (resumed)" if resumed else "")
 
     tap = None
     if cfg.debug_audio_enabled:
@@ -279,12 +301,17 @@ async def ws_audio(request: web.Request) -> web.WebSocketResponse:
         {
             "type": "connection_established",
             "client_id": client_id,
+            "resumed": resumed,
             "config": cfg.protocol_constants(),
-            "capabilities": ["tentative_output", "committed_output", "hotwords", "vad_config"],
+            "capabilities": [
+                "tentative_output", "committed_output", "hotwords",
+                "vad_config", "resume",
+            ],
         }
     )
 
     last_activity = time.monotonic()
+    explicit_close = False
     try:
         while not ws.closed:
             try:
@@ -295,6 +322,7 @@ async def ws_audio(request: web.Request) -> web.WebSocketResponse:
                         {"type": "error", "code": "inactivity_timeout",
                          "message": "no audio for 30s, closing"}
                     )
+                    explicit_close = True
                     break
                 continue
 
@@ -315,6 +343,7 @@ async def ws_audio(request: web.Request) -> web.WebSocketResponse:
                     continue
                 await _handle_control(ctrl, session, send_json, cfg)
                 if ctrl.get("type") == "close":
+                    explicit_close = True
                     break
             elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.CLOSED, WSMsgType.ERROR):
                 break
@@ -322,14 +351,20 @@ async def ws_audio(request: web.Request) -> web.WebSocketResponse:
         app["sessions"].pop(client_id, None)
         if tap is not None:
             tap.close()
-        try:
-            await asyncio.wait_for(session.flush(), timeout=10.0)
-        except (asyncio.TimeoutError, Exception):
-            logger.exception("[%s] flush on close failed", client_id)
-        await session.cleanup()
+        if explicit_close:
+            try:
+                await asyncio.wait_for(session.flush(), timeout=10.0)
+            except (asyncio.TimeoutError, Exception):
+                logger.exception("[%s] flush on close failed", client_id)
+            await session.cleanup()
+        else:
+            # abnormal disconnect: park the session for possible resume
+            session.active = False
+            app["detached"][client_id] = (time.monotonic(), session)
         if not ws.closed:
             await ws.close()
-        logger.info("[%s] ws closed", client_id)
+        logger.info("[%s] ws closed%s", client_id,
+                    "" if explicit_close else " (resumable)")
     return ws
 
 
@@ -380,6 +415,7 @@ def build_app(config: AppConfig, engine, vad, model_info: dict | None = None) ->
     app["vad"] = vad
     app["model_info"] = model_info or {}
     app["sessions"] = {}
+    app["detached"] = {}  # client_id -> (detach_time, session), resumable
     app.router.add_get("/health", health)
     app.router.add_get("/debug/config", debug_config)
     app.router.add_get("/debug/profile", debug_profile)

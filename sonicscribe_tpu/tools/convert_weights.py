@@ -104,9 +104,33 @@ def _cfg_from_dict(d: dict) -> GlmAsrConfig:
     return GlmAsrConfig(encoder=enc, decoder=dec, **d)
 
 
+def save_checkpoint_orbax(params: dict, cfg: GlmAsrConfig, path: str) -> None:
+    """Orbax alternative to the npz format (sharded, async-capable — the
+    ecosystem-standard choice for multi-host deployments)."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(path, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(os.path.abspath(path), "params_orbax"), params)
+    with open(os.path.join(path, NATIVE_CONFIG), "w") as f:
+        json.dump(
+            {"model_config": dataclasses.asdict(cfg), "format": "orbax",
+             "format_version": 1},
+            f,
+            indent=2,
+        )
+
+
+def _load_orbax(path: str):
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.join(os.path.abspath(path), "params_orbax"))
+
+
 def load_checkpoint(path: str):
-    """-> (cfg, params, tokenizer). Accepts native dirs; HF dirs must be
-    converted first (clear error otherwise)."""
+    """-> (cfg, params, tokenizer). Accepts native npz or orbax dirs; HF dirs
+    must be converted first (clear error otherwise)."""
     import jax.numpy as jnp
 
     cfg_path = os.path.join(path, NATIVE_CONFIG)
@@ -126,15 +150,18 @@ def load_checkpoint(path: str):
     cfg = _cfg_from_dict(meta["model_config"])
     dtypes = meta.get("dtypes", {})
 
-    with np.load(os.path.join(path, NATIVE_PARAMS)) as z:
-        flat = {}
-        for k in z.files:
-            v = z[k]
-            if dtypes.get(k) == "bfloat16":
-                flat[k] = jnp.asarray(v.view(np.uint16)).view(jnp.bfloat16)
-            else:
-                flat[k] = jnp.asarray(v)
-    params = _unflatten(flat)
+    if meta.get("format") == "orbax":
+        params = _load_orbax(path)
+    else:
+        with np.load(os.path.join(path, NATIVE_PARAMS)) as z:
+            flat = {}
+            for k in z.files:
+                v = z[k]
+                if dtypes.get(k) == "bfloat16":
+                    flat[k] = jnp.asarray(v.view(np.uint16)).view(jnp.bfloat16)
+                else:
+                    flat[k] = jnp.asarray(v)
+        params = _unflatten(flat)
 
     tok_dir = os.path.join(path, "tokenizer")
     if os.path.isdir(tok_dir):

@@ -46,3 +46,19 @@ def test_hf_dir_guidance(tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "convert" in str(e)
+
+
+def test_roundtrip_orbax(tmp_path):
+    pytest = __import__("pytest")
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except ImportError:
+        pytest.skip("orbax not installed")
+    from sonicscribe_tpu.tools.convert_weights import save_checkpoint_orbax
+
+    cfg = tiny()
+    params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    save_checkpoint_orbax(params, cfg, str(tmp_path))
+    cfg2, params2, _ = load_checkpoint(str(tmp_path))
+    assert cfg2 == cfg
+    _trees_equal(params, params2)

@@ -190,3 +190,28 @@ async def test_websocket_frame_repair_and_bad_control(app, aiohttp_client):
     await ws.send_str(json.dumps({"type": "ping"}))
     assert json.loads(await ws.receive_str())["type"] == "pong"
     await ws.close()
+
+
+async def test_long_segment_cutting_via_config(app, aiohttp_client):
+    """max_segment_duration in config_str pre-splits long segments
+    (reference cut_long_segments, main.py:527-567)."""
+    client = await aiohttp_client(app)
+    from aiohttp import FormData
+
+    audio = _speech(5.0)  # 5s continuous speech
+    form = FormData()
+    form.add_field("file", write_wav(audio, SR), filename="long.wav")
+    form.add_field(
+        "config_str",
+        json.dumps({"vad_enabled": False, "max_segment_duration": 2.0}),
+    )
+    r = await client.post("/transcribe/file?stream=true", data=form)
+    assert r.status == 200
+    lines = [json.loads(ln) for ln in (await r.text()).strip().split("\n")]
+    segs = [m for m in lines if m["type"] == "segment_result"]
+    assert len(segs) == 3  # ceil(5/2)
+    assert all(s["is_long_segment"] for s in segs)
+    assert all(s["end_time"] - s["start_time"] <= 2.01 for s in segs)
+    # sub-parts share original_index and carry distinct sub indices
+    assert {s["original_index"] for s in segs} == {0}
+    assert sorted(s["sub_segment_index"] for s in segs) == [0, 1, 2]

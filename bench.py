@@ -142,12 +142,12 @@ def main():
                 cfg, params, tokenizer,
                 prefill_buckets=(128, 512),  # interim + final buckets only
             )
-            # same slots + cache_len as the file engine -> the decode-K
-            # program grid is shared from the compile cache
+            # dedicated (natural) cache shapes: the stream engine's shorter
+            # prompts make every decode step read ~55% less KV cache; the
+            # persistent compile cache amortizes the extra program set
             s_engine = BatchedEngine(
                 tr_s, EnergyVad(), slots=4 if quick else 32,
-                max_decode_tokens=200 if quick else file_budget,
-                cache_len=None if quick else 1024,
+                max_decode_tokens=200,
             )
             s_engine.warmup()
             app_cfg = AppConfig()

@@ -49,20 +49,27 @@ class ThreadedEngine:
 
     async def vad_window_prob(self, audio: np.ndarray, state) -> tuple[float, object]:
         """Max speech probability over the 512-sample sub-windows of one
-        gate window (state threads through, per session)."""
+        gate window (state threads through, per session). One scanned
+        program per window count, not one call per sub-window."""
 
         def run():
+            import jax
             import jax.numpy as jnp
 
             n = len(audio)
             n_win = max(1, n // WINDOW_SAMPLES)
-            x = audio[: n_win * WINDOW_SAMPLES].reshape(n_win, 1, WINDOW_SAMPLES)
+            x = jnp.asarray(
+                audio[: n_win * WINDOW_SAMPLES].reshape(n_win, 1, WINDOW_SAMPLES)
+            )
             s = state if state is not None else self.vad.init_state(1)
-            best = 0.0
-            for i in range(n_win):
-                p, s = self.vad.forward(self.vad.params, jnp.asarray(x[i]), s)
-                best = max(best, float(p[0]))
-            return best, s
+
+            def step(carry, w):
+                st, best = carry
+                p, st = self.vad.forward(self.vad.params, w, st)
+                return (st, jnp.maximum(best, p[0])), None
+
+            (s, best), _ = jax.lax.scan(step, (s, jnp.float32(0.0)), x)
+            return float(best), s
 
         loop = asyncio.get_running_loop()
         return await loop.run_in_executor(self._pool, run)

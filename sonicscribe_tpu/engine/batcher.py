@@ -397,6 +397,10 @@ class BatchedEngine:
         self.done = jnp.ones((rows,), bool)
         self.bias = jnp.zeros((rows, dec.vocab_size), jnp.float32)
         self.budgets = jnp.zeros((rows,), jnp.int32)
+        # host-side dirty tracking: a hotword bias row is ~240 KB; uploading
+        # one per admit saturates tunnel h2d bandwidth, so zero rows are
+        # zeroed by an on-device broadcast and only real hotword rows upload
+        self._bias_dirty = [False] * rows
         self.trash_slot = slots
 
         # (bucket, B) prefill-program sizes compiled at warmup; groups are
@@ -1002,6 +1006,7 @@ class BatchedEngine:
         padded_slots = slot_list + [self.trash_slot] * (B - len(items))
         prefix = None
 
+        sbb = []
         for j, req in enumerate(items):
             prompt = build_prompt(tr.tokenizer, self.cfg, hotwords=req.hotwords)
             prefix = prompt.prefix_ids
@@ -1014,9 +1019,13 @@ class BatchedEngine:
             # host path (Transcriber clamp)
             start[j] = req.start_chunk
             count[j] = max(1, c)
-            bias_row = np.asarray(tr._hotword_logit_bias(req.hotwords), np.float32)
-            self.bias = self.bias.at[slot_list[j]].set(jnp.asarray(bias_row))
-            self.budgets = self.budgets.at[slot_list[j]].set(req.max_new_tokens)
+            bias_row = (
+                np.asarray(tr._hotword_logit_bias(req.hotwords), np.float32)
+                if req.hotwords
+                else None
+            )
+            sbb.append((slot_list[j], bias_row, req.max_new_tokens))
+        self._set_slot_bias_budget(sbb)
         if prefix is None:
             prompt = build_prompt(tr.tokenizer, self.cfg)
             prefix = prompt.prefix_ids
@@ -1066,6 +1075,26 @@ class BatchedEngine:
         self.stats["prefills"] += len(items)
         self.stats["prefill_programs"] = self.stats.get("prefill_programs", 0) + 1
 
+    def _set_slot_bias_budget(self, slot_bias_budget: list) -> None:
+        """(slot, bias_row|None, budget) triples for one admit group — one
+        batched budget write; bias uploads only for nonzero rows."""
+        slots = [s for s, _, _ in slot_bias_budget]
+        budgets = [b for _, _, b in slot_bias_budget]
+        self.budgets = self.budgets.at[jnp.asarray(slots, jnp.int32)].set(
+            jnp.asarray(budgets, jnp.int32)
+        )
+        zero_slots = []
+        for slot, bias_row, _ in slot_bias_budget:
+            nonzero = bias_row is not None and bool(np.any(bias_row))
+            if nonzero:
+                self.bias = self.bias.at[slot].set(jnp.asarray(bias_row))
+                self._bias_dirty[slot] = True
+            elif self._bias_dirty[slot]:
+                zero_slots.append(slot)
+                self._bias_dirty[slot] = False
+        if zero_slots:
+            self.bias = self.bias.at[jnp.asarray(zero_slots, jnp.int32)].set(0.0)
+
     def _prepare_request(self, req: _TranscribeReq):
         """Host+dispatch prep: -> (bucket, mel [T,nm], frames, suffix,
         suffix_len, bias_row) or None on failure (future gets the error)."""
@@ -1087,7 +1116,11 @@ class BatchedEngine:
             suffix = np.full((MAX_SUFFIX_TOKENS,), self.cfg.pad_id, np.int32)
             s_ids = prompt.suffix_ids[:MAX_SUFFIX_TOKENS]
             suffix[: len(s_ids)] = s_ids
-            bias_row = np.asarray(tr._hotword_logit_bias(req.hotwords), np.float32)
+            bias_row = (
+                np.asarray(tr._hotword_logit_bias(req.hotwords), np.float32)
+                if req.hotwords
+                else None
+            )
             return bucket, mel, frames, prompt.prefix_ids, suffix, len(s_ids), bias_row
         except Exception as e:
             logger.exception("request prep failed")
@@ -1141,9 +1174,12 @@ class BatchedEngine:
         padded_slots = slot_list + [self.trash_slot] * (B - len(items))
 
         # per-slot bias/budget rows must land BEFORE the prefill program
-        for (req, prep), slot_idx in zip(items, slot_list):
-            self.bias = self.bias.at[slot_idx].set(jnp.asarray(prep[6]))
-            self.budgets = self.budgets.at[slot_idx].set(req.max_new_tokens)
+        self._set_slot_bias_budget(
+            [
+                (slot_idx, prep[6], req.max_new_tokens)
+                for (req, prep), slot_idx in zip(items, slot_list)
+            ]
+        )
 
         try:
             self._dispatch_prefill_group(
@@ -1187,6 +1223,10 @@ class BatchedEngine:
             or not self._vad_requests.empty()
         ):
             k = min(k, 16)
+        elif len(self._free_streams) < self.N_STREAMS:
+            # realtime sessions are live: keep ticks short so an interim
+            # arriving mid-tick never waits behind a 64-step finals tick
+            k = min(k, 32)
 
         status = self._dispatch_decode(k)
         self.stats["decode_steps"] += k

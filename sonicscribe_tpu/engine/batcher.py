@@ -1019,12 +1019,8 @@ class BatchedEngine:
             # host path (Transcriber clamp)
             start[j] = req.start_chunk
             count[j] = max(1, c)
-            bias_row = (
-                np.asarray(tr._hotword_logit_bias(req.hotwords), np.float32)
-                if req.hotwords
-                else None
-            )
-            sbb.append((slot_list[j], bias_row, req.max_new_tokens))
+            bias_ids = tr._hotword_token_ids(req.hotwords) if req.hotwords else None
+            sbb.append((slot_list[j], bias_ids, req.max_new_tokens))
         self._set_slot_bias_budget(sbb)
         if prefix is None:
             prompt = build_prompt(tr.tokenizer, self.cfg)
@@ -1076,18 +1072,24 @@ class BatchedEngine:
         self.stats["prefill_programs"] = self.stats.get("prefill_programs", 0) + 1
 
     def _set_slot_bias_budget(self, slot_bias_budget: list) -> None:
-        """(slot, bias_row|None, budget) triples for one admit group — one
-        batched budget write; bias uploads only for nonzero rows."""
+        """(slot, bias_ids|None, budget) triples for one admit group — one
+        batched budget write; hotword bias rows are BUILT ON DEVICE from the
+        boosted token ids (a [V]-row upload costs ~240 KB, which at 50
+        requests/s saturates host->device bandwidth)."""
         slots = [s for s, _, _ in slot_bias_budget]
         budgets = [b for _, _, b in slot_bias_budget]
         self.budgets = self.budgets.at[jnp.asarray(slots, jnp.int32)].set(
             jnp.asarray(budgets, jnp.int32)
         )
         zero_slots = []
-        for slot, bias_row, _ in slot_bias_budget:
-            nonzero = bias_row is not None and bool(np.any(bias_row))
-            if nonzero:
-                self.bias = self.bias.at[slot].set(jnp.asarray(bias_row))
+        for slot, bias_ids, _ in slot_bias_budget:
+            if bias_ids is not None and len(bias_ids):
+                row = (
+                    jnp.zeros((self.cfg.decoder.vocab_size,), jnp.float32)
+                    .at[jnp.asarray(bias_ids, jnp.int32)]
+                    .set(self.transcriber.hotword_bias_strength)
+                )
+                self.bias = self.bias.at[slot].set(row)
                 self._bias_dirty[slot] = True
             elif self._bias_dirty[slot]:
                 zero_slots.append(slot)
@@ -1116,12 +1118,8 @@ class BatchedEngine:
             suffix = np.full((MAX_SUFFIX_TOKENS,), self.cfg.pad_id, np.int32)
             s_ids = prompt.suffix_ids[:MAX_SUFFIX_TOKENS]
             suffix[: len(s_ids)] = s_ids
-            bias_row = (
-                np.asarray(tr._hotword_logit_bias(req.hotwords), np.float32)
-                if req.hotwords
-                else None
-            )
-            return bucket, mel, frames, prompt.prefix_ids, suffix, len(s_ids), bias_row
+            bias_ids = tr._hotword_token_ids(req.hotwords) if req.hotwords else None
+            return bucket, mel, frames, prompt.prefix_ids, suffix, len(s_ids), bias_ids
         except Exception as e:
             logger.exception("request prep failed")
             if not req.future.done():

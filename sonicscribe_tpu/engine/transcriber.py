@@ -138,6 +138,15 @@ class Transcriber:
                 return b
         return self.buckets[-1]
 
+    def _hotword_token_ids(self, hotwords: Optional[list[str]]) -> list[int]:
+        """Token ids to boost for hotword logit biasing (deduped)."""
+        if not hotwords or self.hotword_bias_strength == 0.0:
+            return []
+        ids: set[int] = set()
+        for w in hotwords[:10]:
+            ids.update(self.tokenizer.encode(str(w).strip().lower()))
+        return sorted(ids)
+
     def _hotword_logit_bias(self, hotwords: Optional[list[str]]) -> jnp.ndarray:
         if not hotwords or self.hotword_bias_strength == 0.0:
             return self._zero_bias

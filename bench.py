@@ -105,9 +105,10 @@ def main():
     seg_seconds = seg_bucket * 160 / sr
     tr_b = Transcriber(cfg, params, tokenizer, prefill_buckets=(seg_bucket,))
     tr_b._zero_bias = jnp.asarray(no_eos)
-    engine = BatchedEngine(tr_b, EnergyVad(), slots=8 if quick else 32,
-                           max_decode_tokens=file_budget,
-                           cache_len=None if quick else 1024)
+    # slots match the segment count: decode-step cost scales with total cache
+    # rows read, so oversizing the slot pool directly taxes file RTF
+    engine = BatchedEngine(tr_b, EnergyVad(), slots=n_seg,
+                           max_decode_tokens=file_budget)
     engine.warmup()
     segments = [
         (0.1 * rng.standard_normal(int(sr * seg_seconds))).astype(np.float32)

@@ -92,6 +92,11 @@ class AppConfig:
         default_factory=lambda: [128, 256, 512, 1024, 2048, 3072]
     )
     data_parallel: int = field(default_factory=lambda: int(_env("DATA_PARALLEL", "1")))
+    # Pallas flash-decode attention: "on" | "off"/"auto". Benched SLOWER than
+    # the XLA path at nano scale (FLASH_DECODE_BENCH.json: 0.6-0.9x), so the
+    # default keeps XLA attention; the short/long KV pool split is the
+    # adopted occupancy-scaling mechanism.
+    flash_decode: str = field(default_factory=lambda: _env("FLASH_DECODE", "auto"))
 
     @property
     def samples_per_chunk(self) -> int:

@@ -227,7 +227,7 @@ def _prefill_ring_program(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "k_steps"),
+    static_argnames=("cfg", "k_steps", "use_flash"),
     donate_argnums=(2, 3, 4, 5, 6, 7, 8),
 )
 def _decode_k_program(
@@ -243,6 +243,7 @@ def _decode_k_program(
     bias,  # [S, V] f32
     budgets,  # [S] i32
     k_steps: int,
+    use_flash: bool = False,
 ):
     """K greedy steps for all slots, fully device-side bookkeeping.
 
@@ -255,7 +256,9 @@ def _decode_k_program(
     def step(carry, _):
         ck, cv, cl, tok, out, n, dn = carry
         cache = {"k": ck, "v": cv, "len": cl}
-        cache, logits = decode_step(params, cfg, cache, tok, active=~dn)
+        cache, logits = decode_step(
+            params, cfg, cache, tok, active=~dn, use_flash=use_flash
+        )
         nxt = jnp.argmax(logits + bias, -1).astype(jnp.int32)
         nxt = jnp.where(dn, tok, nxt)  # frozen slots keep their token
         # append for active slots
@@ -368,12 +371,54 @@ class BatchedEngine:
         cache_dtype=None,
         n_streams: int = 64,
         cache_len: Optional[int] = None,
+        mesh=None,
+        flash_decode: str = "auto",
     ):
+        """flash_decode: "auto" | "on" | "off" — route decode attention
+        through the Pallas flash-decode kernel (ops/decode_attention.py),
+        which reads only the OCCUPIED KV blocks instead of the whole padded
+        cache. Measured on the real v5e (tools/bench_flash.py, nano, 50
+        slots): the kernel is 0.6-0.9x of the XLA path at every occupancy —
+        per-slot decode work is too small for the per-grid-step overhead —
+        so "auto" resolves to OFF and the engine attacks padded-cache
+        bandwidth with the short/long KV pool split instead.
+
+        mesh: optional jax.sharding.Mesh with a "data" axis. When given,
+        the engine runs DATA-PARALLEL over the mesh (parallel/mesh.py design):
+        params replicated on every chip, every per-slot/per-stream array
+        sharded over "data", one GSPMD program — the scheduler is unchanged.
+        Slot/stream row counts are rounded up to a multiple of the data
+        degree; the extra rows are permanently-done padding."""
         self.transcriber = transcriber
         self.vad = vad
         self.cfg = transcriber.cfg
         self.S = slots
         self.MAX_NEW = max_decode_tokens
+        self.mesh = mesh
+        dp = int(mesh.shape["data"]) if mesh is not None else 1
+        self.data_parallel = dp
+
+        def _rup(n: int) -> int:  # round up to the data-parallel degree
+            return ((n + dp - 1) // dp) * dp
+
+        if mesh is not None:
+            from sonicscribe_tpu.parallel.mesh import (
+                batch_sharding,
+                replicate_params,
+            )
+
+            def _shard(x, axis=0):
+                return jax.device_put(x, batch_sharding(mesh, x.ndim, axis=axis))
+
+            transcriber.params = replicate_params(transcriber.params, mesh)
+            if getattr(vad, "params", None) is not None:
+                vad.params = replicate_params(vad.params, mesh)
+        else:
+
+            def _shard(x, axis=0):
+                return x
+
+        self._shard = _shard
 
         dec = self.cfg.decoder
         max_audio_tokens = max(transcriber.buckets) // self.cfg.frames_per_audio_token
@@ -384,19 +429,24 @@ class BatchedEngine:
         dtype = cache_dtype or jax.tree.leaves(transcriber.params)[0].dtype
         if dtype == jnp.int8:  # quantized params: cache stays bf16
             dtype = jnp.bfloat16
+        self.use_flash = flash_decode == "on"
+        if self.use_flash:
+            # the flash kernel iterates 128-position KV blocks
+            self.MAX_LEN = ((self.MAX_LEN + 127) // 128) * 128
         # slot index S is the TRASH slot: padding rows of batched prefills
-        # land there; it is permanently done and never scheduled
-        rows = slots + 1
+        # land there; it is permanently done and never scheduled. Under data
+        # parallelism rows is rounded up so the slot axis shards evenly.
+        rows = _rup(slots + 1)
         shape = (dec.n_layers, rows, self.MAX_LEN, dec.n_kv_heads, dec.head_dim)
-        self.cache_k = jnp.zeros(shape, dtype)
-        self.cache_v = jnp.zeros(shape, dtype)
-        self.cache_len = jnp.zeros((rows,), jnp.int32)
-        self.last_tok = jnp.zeros((rows,), jnp.int32)
-        self.out_tokens = jnp.zeros((rows, max_decode_tokens), jnp.int32)
-        self.n_emitted = jnp.zeros((rows,), jnp.int32)
-        self.done = jnp.ones((rows,), bool)
-        self.bias = jnp.zeros((rows, dec.vocab_size), jnp.float32)
-        self.budgets = jnp.zeros((rows,), jnp.int32)
+        self.cache_k = _shard(jnp.zeros(shape, dtype), axis=1)
+        self.cache_v = _shard(jnp.zeros(shape, dtype), axis=1)
+        self.cache_len = _shard(jnp.zeros((rows,), jnp.int32))
+        self.last_tok = _shard(jnp.zeros((rows,), jnp.int32))
+        self.out_tokens = _shard(jnp.zeros((rows, max_decode_tokens), jnp.int32))
+        self.n_emitted = _shard(jnp.zeros((rows,), jnp.int32))
+        self.done = _shard(jnp.ones((rows,), bool))
+        self.bias = _shard(jnp.zeros((rows, dec.vocab_size), jnp.float32))
+        self.budgets = _shard(jnp.zeros((rows,), jnp.int32))
         # host-side dirty tracking: a hotword bias row is ~240 KB; uploading
         # one per admit saturates tunnel h2d bandwidth, so zero rows are
         # zeroed by an on-device broadcast and only real hotword rows upload
@@ -428,11 +478,12 @@ class BatchedEngine:
         self.has_ring = True
         self.N_STREAMS = n_streams
         self.trash_stream = n_streams
-        self.ring = jnp.zeros(
-            (n_streams + 1, 2 * RING_CHUNKS, CHUNK_SAMPLES), jnp.int16
+        self.ring = _shard(
+            jnp.zeros((_rup(n_streams + 1), 2 * RING_CHUNKS, CHUNK_SAMPLES), jnp.int16)
         )
         self._free_streams = list(range(n_streams))
-        self.vad_states = vad.init_state(n_streams)  # device-resident
+        # device-resident; padded so the stream axis shards evenly
+        self.vad_states = jax.tree.map(_shard, vad.init_state(_rup(n_streams)))
         self._vad_ring_program = make_vad_ring_program(
             vad, window_chunks=10
         )
@@ -783,6 +834,7 @@ class BatchedEngine:
             self.bias,
             self.budgets,
             k,
+            self.use_flash,
         )
         return status
 

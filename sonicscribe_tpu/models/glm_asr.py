@@ -411,14 +411,27 @@ def decode_step(
     cache: Cache,
     tokens: jnp.ndarray,  # [B] int32 current input tokens
     active: jnp.ndarray | None = None,  # [B] bool; inactive rows don't advance
+    use_flash: bool = False,
 ) -> Tuple[Cache, jnp.ndarray]:
-    """One autoregressive step for the whole decode batch. Returns f32 logits."""
+    """One autoregressive step for the whole decode batch. Returns f32 logits.
+
+    use_flash=True routes attention through the Pallas flash-decode kernel
+    (ops/decode_attention.py): only the occupied KV blocks are read from HBM
+    instead of the whole padded cache — decode is bandwidth-bound, so this
+    scales cost with actual occupancy. Requires max_len % 128 == 0.
+    """
     dec = cfg.decoder
     B = tokens.shape[0]
     max_len = cache["k"].shape[2]
     pos = cache["len"]  # [B] position to write
     if active is None:
         active = jnp.ones((B,), bool)
+    if use_flash and max_len % 128 != 0:
+        raise ValueError(
+            f"flash decode needs cache max_len % 128 == 0, got {max_len}"
+        )
+    # interpret mode lets the same code path run on CPU (tests/dev)
+    flash_interpret = jax.default_backend() != "tpu"
 
     x = embed_tokens(params, tokens)  # [B, D]
     cos, sin, rot = _rope_tables(dec, pos)  # [B, rot//2]
@@ -444,17 +457,26 @@ def decode_step(
             v_new.astype(v_cache.dtype), mode="drop"
         )
 
-        nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
-        qg = q.reshape(B, nkv, g, dec.head_dim)
-        scores = jnp.einsum(
-            "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
-        ) * (1.0 / math.sqrt(dec.head_dim))
-        valid = hist_valid | (kpos == pos[:, None])
-        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
-        ctx = jnp.einsum("bkgs,bskd->bkgd", attn, v_cache).reshape(
-            B, dec.n_heads * dec.head_dim
-        )
+        if use_flash:
+            from sonicscribe_tpu.ops.decode_attention import (
+                flash_decode_attention,
+            )
+
+            ctx = flash_decode_attention(
+                q, k_cache, v_cache, pos, interpret=flash_interpret
+            ).astype(h.dtype)
+        else:
+            nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
+            qg = q.reshape(B, nkv, g, dec.head_dim)
+            scores = jnp.einsum(
+                "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
+            ) * (1.0 / math.sqrt(dec.head_dim))
+            valid = hist_valid | (kpos == pos[:, None])
+            scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+            attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+            ctx = jnp.einsum("bkgs,bskd->bkgd", attn, v_cache).reshape(
+                B, dec.n_heads * dec.head_dim
+            )
         h = h + matmul(ctx, lp["o_w"])
 
         hn = _rms_norm(h, lp["ln2_scale"], dec.rms_eps)

@@ -1,17 +1,21 @@
-"""Pallas flash-decode attention: length-limited KV reads (EXPERIMENTAL).
+"""Pallas flash-decode attention: length-limited KV reads.
 
 The XLA decode step (models/glm_asr.py:decode_step) reads the ENTIRE padded
 KV cache [S, MAX_LEN, nkv, hd] every step — masked positions still cost HBM
-bandwidth, and decode is bandwidth-bound (measured ~82% of v5e speed-of-light
-at nano scale). This kernel iterates only ceil((len+1)/BLOCK) KV blocks per
-slot with an online-softmax (flash) accumulator, cutting decode HBM traffic
-roughly by the cache-occupancy ratio.
+bandwidth, and decode is bandwidth-bound. This kernel puts the KV blocks on
+the PALLAS GRID (s, j) with a scalar-prefetched index map that clamps past-
+the-end block indices to the slot's last occupied block: Mosaic's pipeline
+emitter skips the DMA when a buffer's block index repeats, so each slot
+fetches only ceil((len+1)/BLOCK) KV blocks from HBM — cost scales with cache
+OCCUPANCY, not capacity. (A first version looped over blocks INSIDE a
+per-slot kernel with a whole-row BlockSpec; that still DMA'd the full row and
+measured 0.6-0.9x of XLA. This grid/index-map form is the paged-attention
+pattern.)
 
-Status: numerics verified against the XLA attention math
-(tests/test_decode_attention.py) and COMPILED + RUN on a real v5e chip
-(agrees with interpret mode to 1e-7, incl. edge lengths 0 / block-straddling
-/ full cache). Not yet wired into decode_step — that swap plus a measured
-perf comparison under the batcher is the round-2 follow-up.
+Numerics verified against the XLA decode attention
+(tests/test_decode_attention.py, incl. through decode_step and the full
+BatchedEngine) and benched on the real v5e via
+`python -m sonicscribe_tpu.tools.bench_flash`.
 """
 
 from __future__ import annotations
@@ -23,64 +27,71 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 128  # KV positions per iteration
+BLOCK = 128  # KV positions per grid step
 NEG_INF = -1e30
 
 
-def _kernel(lens_ref, q_ref, k_ref, v_ref, out_ref, *, scale):
-    """Grid is (S,). Per slot: online-softmax attention over the first
-    lens[s]+1 cache positions (history + the just-written token).
-
-    q_ref: [1, nkv, g, hd]; k_ref/v_ref: [1, MAX, nkv, hd]; out [1, nkv*g*hd].
-    """
+def _kernel(
+    lens_ref,  # [S] i32 scalar-prefetch
+    q_ref,  # [1, nkv, g, hd]
+    k_ref,  # [1, BLOCK, nkv, hd]
+    v_ref,  # [1, BLOCK, nkv, hd]
+    out_ref,  # [1, 8, nh*hd/8]
+    m_ref,  # VMEM [nkv, g, 128] f32 (running max, col 0 meaningful)
+    d_ref,  # VMEM [nkv, g, 128] f32 (running denom)
+    acc_ref,  # VMEM [nkv, g, hd] f32
+    *,
+    scale,
+):
     s = pl.program_id(0)
-    n_valid = lens_ref[s] + 1  # history + current token
+    j = pl.program_id(1)
+    n_valid = lens_ref[s] + 1  # history + the just-written current token
+    last_blk = lens_ref[s] // BLOCK  # index of the last occupied block
     nkv, g, hd = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-    max_len = k_ref.shape[1]
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [nkv, g, hd]
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        d_ref[...] = jnp.zeros_like(d_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def body(j, carry):
-        m, denom, acc = carry
-        k_blk = k_ref[0, pl.ds(j * BLOCK, BLOCK)].astype(jnp.float32)  # [B,nkv,hd]
-        v_blk = v_ref[0, pl.ds(j * BLOCK, BLOCK)].astype(jnp.float32)
+    @pl.when(j <= last_blk)
+    def _update():
+        q = q_ref[0].astype(jnp.float32) * scale  # [nkv, g, hd]
+        k_blk = k_ref[0].astype(jnp.float32)  # [BLOCK, nkv, hd]
+        v_blk = v_ref[0].astype(jnp.float32)
         pos = j * BLOCK + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
-        valid = pos < n_valid  # [1, B]
+        valid = pos < n_valid  # [1, BLOCK]
 
         # per-kv-head 2D matmuls (Mosaic's dot_general has no batch dims)
-        new_m_h, denom_h, acc_h = [], [], []
         for h in range(nkv):
             scores = jax.lax.dot_general(
-                q[h], k_blk[:, h, :],  # [g, hd] x [B, hd]
+                q[h], k_blk[:, h, :],  # [g, hd] x [BLOCK, hd]
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [g, B]
+            )  # [g, BLOCK]
             scores = jnp.where(valid, scores, NEG_INF)
-            blk_max = jnp.max(scores, axis=-1, keepdims=True)  # [g, 1]
-            nm = jnp.maximum(m[h], blk_max)
-            corr = jnp.exp(m[h] - nm)
-            p = jnp.exp(scores - nm)  # [g, B]
-            denom_h.append(denom[h] * corr + jnp.sum(p, axis=-1, keepdims=True))
+            m_prev = m_ref[h, :, :1]  # [g, 1]
+            blk_max = jnp.max(scores, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, blk_max)
+            corr = jnp.exp(m_prev - m_new)  # [g, 1]
+            p = jnp.exp(scores - m_new)  # [g, BLOCK]
+            d_ref[h, :, :1] = d_ref[h, :, :1] * corr + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
             ctx = jax.lax.dot_general(
-                p, v_blk[:, h, :],  # [g, B] x [B, hd]
+                p, v_blk[:, h, :],  # [g, BLOCK] x [BLOCK, hd]
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [g, hd]
-            acc_h.append(acc[h] * corr + ctx)
-            new_m_h.append(nm)
-        return jnp.stack(new_m_h), jnp.stack(denom_h), jnp.stack(acc_h)
+            acc_ref[h] = acc_ref[h] * corr + ctx
+            m_ref[h, :, :1] = m_new
 
-    n_blocks = (n_valid + BLOCK - 1) // BLOCK
-    m0 = jnp.full((nkv, g, 1), NEG_INF, jnp.float32)
-    d0 = jnp.zeros((nkv, g, 1), jnp.float32)
-    a0 = jnp.zeros((nkv, g, hd), jnp.float32)
-    # dynamic trip count: only the occupied cache blocks are ever read
-    m, denom, acc = jax.lax.fori_loop(
-        0, jnp.minimum(n_blocks, max_len // BLOCK), body, (m0, d0, a0)
-    )
-    out = acc / jnp.maximum(denom, 1e-30)
-    # out_ref block is [1, 8, nh*hd/8] (Mosaic wants 8x128-aligned last dims)
-    out_ref[0] = out.reshape(8, (nkv * g * hd) // 8).astype(out_ref.dtype)
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _emit():
+        out = acc_ref[...] / jnp.maximum(d_ref[:, :, :1], 1e-30)
+        # out block is [1, 8, nh*hd/8] (Mosaic wants 8x128-aligned last dims)
+        out_ref[0] = out.reshape(8, (nkv * g * hd) // 8).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -93,29 +104,38 @@ def flash_decode_attention(
 ) -> jnp.ndarray:
     """-> ctx [S, nh*hd] f32. MAX_LEN must be a multiple of BLOCK."""
     S, nh, hd = q.shape
-    nkv = k_cache.shape[2]
+    max_len, nkv = k_cache.shape[1], k_cache.shape[2]
+    if max_len % BLOCK:
+        raise ValueError(f"MAX_LEN {max_len} not a multiple of {BLOCK}")
     g = nh // nkv
     qg = q.reshape(S, nkv, g, hd)
     scale = 1.0 / (hd ** 0.5)
+    lens = lens.astype(jnp.int32)
+
+    def kv_map(s, j, lens_ref):
+        # clamp past-the-end block indices to the slot's last occupied block:
+        # a repeated index skips the DMA, so only occupied blocks are fetched
+        return (s, jnp.minimum(j, lens_ref[s] // BLOCK), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # lens
-        grid=(S,),
+        grid=(S, max_len // BLOCK),
         in_specs=[
-            pl.BlockSpec((1, nkv, g, hd), lambda s, lens: (s, 0, 0, 0)),
-            pl.BlockSpec(
-                (1,) + k_cache.shape[1:], lambda s, lens: (s, 0, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1,) + v_cache.shape[1:], lambda s, lens: (s, 0, 0, 0)
-            ),
+            pl.BlockSpec((1, nkv, g, hd), lambda s, j, lens: (s, 0, 0, 0)),
+            pl.BlockSpec((1, BLOCK, nkv, hd), kv_map),
+            pl.BlockSpec((1, BLOCK, nkv, hd), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, 8, (nh * hd) // 8), lambda s, lens: (s, 0, 0)),
+        out_specs=pl.BlockSpec((1, 8, (nh * hd) // 8), lambda s, j, lens: (s, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nkv, g, 128), jnp.float32),
+            pltpu.VMEM((nkv, g, 128), jnp.float32),
+            pltpu.VMEM((nkv, g, hd), jnp.float32),
+        ],
     )
     out = pl.pallas_call(
         partial(_kernel, scale=scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, 8, (nh * hd) // 8), jnp.float32),
         interpret=interpret,
-    )(lens.astype(jnp.int32), qg, k_cache, v_cache)
+    )(lens, qg, k_cache, v_cache)
     return out.reshape(S, nh * hd)

@@ -480,14 +480,29 @@ def build_runtime(
 
     transcriber = Transcriber(mcfg, params, tokenizer, prefill_buckets=buckets)
     vad = EnergyVad() if vad_spec == "energy" else SileroVad()
+    mesh = None
+    dp = 1
     if engine_kind == "batched":
         from sonicscribe_tpu.engine.batcher import BatchedEngine
 
+        if config.data_parallel > 1:
+            from sonicscribe_tpu.parallel.mesh import make_mesh
+
+            dp = min(config.data_parallel, len(jax.devices()))
+            if dp < config.data_parallel:
+                logger.warning(
+                    "data_parallel=%d requested but only %d devices; using %d",
+                    config.data_parallel, len(jax.devices()), dp,
+                )
+            if dp > 1:
+                mesh = make_mesh(dp)
         engine = BatchedEngine(
             transcriber,
             vad,
             slots=config.decode_slots,
             max_decode_tokens=max(config.file_max_new_tokens, config.final_max_tokens),
+            mesh=mesh,
+            flash_decode=config.flash_decode,
         )
     else:
         engine = ThreadedEngine(transcriber, vad)
@@ -498,6 +513,8 @@ def build_runtime(
         "vad": vad_spec,
         "engine": engine_kind,
         "decode_slots": config.decode_slots if engine_kind == "batched" else 1,
+        "data_parallel": dp,
+        "flash_decode": bool(getattr(engine, "use_flash", False)),
         "backend": jax.default_backend(),
     }
     return engine, vad, info

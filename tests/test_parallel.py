@@ -61,3 +61,117 @@ def test_shard_batch_tree(devices_ok):
     assert len(sh["a"].sharding.device_set) == 8
     # non-divisible leaf falls back to replication without error
     np.testing.assert_array_equal(np.asarray(sh["b"]), np.zeros((7,)))
+
+
+# ---------------------------------------------------------------------
+# Data-parallel BatchedEngine: the serving engine itself over the mesh
+# ---------------------------------------------------------------------
+
+import asyncio
+
+from sonicscribe_tpu.engine.batcher import BatchedEngine
+from sonicscribe_tpu.engine.transcriber import Transcriber
+from sonicscribe_tpu.models import tiny
+from sonicscribe_tpu.models.glm_asr import init_params
+from sonicscribe_tpu.models.tokenizer import ByteTokenizer
+from sonicscribe_tpu.vad.model import EnergyVad
+
+SR = 16000
+
+
+def _audio(seconds, f=300.0, seed=None):
+    t = np.arange(int(SR * seconds)) / SR
+    x = 0.3 * np.sin(2 * np.pi * f * t)
+    if seed is not None:
+        x = x + 0.01 * np.random.default_rng(seed).standard_normal(len(t))
+    return x.astype(np.float32)
+
+
+def _run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    cfg = tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tr = Transcriber(cfg, params, ByteTokenizer(cfg), prefill_buckets=(64, 128))
+    return cfg, tr
+
+
+def test_batched_engine_data_parallel_token_parity(devices_ok, stack):
+    """BatchedEngine ON THE MESH (params replicated, slot state sharded over
+    'data') must produce token-for-token the same results as the
+    single-device engine for concurrent requests."""
+    cfg, tr = stack
+    audios = [_audio(0.3 + 0.05 * i, f=200 + 70 * i, seed=i) for i in range(8)]
+    golden = [tr.transcribe(a, SR, max_new_tokens=8).tokens for a in audios]
+
+    mesh = make_mesh(8)
+
+    async def go():
+        eng = BatchedEngine(tr, EnergyVad(), slots=8, max_decode_tokens=32, mesh=mesh)
+        assert eng.data_parallel == 8
+        # the slot axis must actually be sharded over all 8 devices
+        assert len(eng.cache_k.sharding.device_set) == 8
+        assert len(eng.out_tokens.sharding.device_set) == 8
+        try:
+            results = await asyncio.gather(
+                *[eng.transcribe(a, SR, max_new_tokens=8) for a in audios]
+            )
+            return [r.tokens for r in results]
+        finally:
+            eng.shutdown()
+
+    got = _run(go())
+    for i, (g, w) in enumerate(zip(got, golden)):
+        np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
+
+
+def test_batched_engine_data_parallel_ring_path(devices_ok, stack):
+    """The realtime path (packed chunk scatter into the sharded device ring,
+    batched ring VAD, ring prefill) on the mesh matches the host-audio path
+    token-for-token."""
+    cfg, tr = stack
+    mesh = make_mesh(8)
+    audio = _audio(64 * 10 / 1000.0, f=440, seed=3)  # 10 chunks of 64 ms
+    golden = tr.transcribe(audio, SR, max_new_tokens=8, hotwords=None).tokens
+
+    async def go():
+        eng = BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32, mesh=mesh)
+        try:
+            s = eng.alloc_stream()
+            pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+            for c in range(10):
+                eng.ingest(s, c, pcm[c * 2048:(c + 1) * 2048])
+            prob = await eng.vad_window_ring(s, 0)
+            assert 0.0 <= prob <= 1.0
+            r = await eng.transcribe_ring(s, 0, 10, max_new_tokens=8)
+            eng.free_stream(s)
+            return r.tokens
+        finally:
+            eng.shutdown()
+
+    got = _run(go())
+    # ring path quantizes audio to int16 before mel; the host path doesn't.
+    # transcribe() of the int16-roundtripped audio is the exact golden.
+    rt = (np.clip(audio, -1, 1) * 32767).astype(np.int16).astype(np.float32) / 32768.0
+    golden_rt = tr.transcribe(rt, SR, max_new_tokens=8).tokens
+    ok = np.array_equal(got, golden_rt) or np.array_equal(got, golden)
+    assert ok, f"ring-path tokens {got} match neither golden {golden_rt} nor {golden}"
+
+
+def test_build_runtime_data_parallel(devices_ok):
+    """config.data_parallel is a live knob: build_runtime constructs the mesh
+    and the engine state is sharded."""
+    from sonicscribe_tpu.config import AppConfig
+    from sonicscribe_tpu.serve.app import build_runtime
+
+    cfg = AppConfig()
+    cfg.data_parallel = 8
+    cfg.decode_slots = 8
+    engine, vad, info = build_runtime("tiny-random", "energy", cfg, "batched")
+    assert info["data_parallel"] == 8
+    assert engine.mesh is not None
+    assert len(engine.ring.sharding.device_set) == 8
+    engine.shutdown()

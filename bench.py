@@ -117,10 +117,14 @@ def main():
 
     async def run_batch():
         t0 = time.perf_counter()
-        await asyncio.gather(
+        rs = await asyncio.gather(
             *[engine.transcribe(s, sr, max_new_tokens=file_budget) for s in segments]
         )
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # guard against early-finish bugs silently inflating the RTF
+        counts = [len(r.tokens) for r in rs]
+        assert all(c == file_budget for c in counts), counts
+        return dt
 
     loop = asyncio.new_event_loop()
     loop.run_until_complete(run_batch())  # compile/settle
@@ -134,23 +138,27 @@ def main():
     # continuous batcher, realtime-paced, measuring tentative latency ----
     stream_metrics = {}
     if "--no-streams" not in sys.argv:
-        try:
-            from sonicscribe_tpu.config import AppConfig
-            from sonicscribe_tpu.tools.loadtest import run_load
+        from sonicscribe_tpu.config import AppConfig
+        from sonicscribe_tpu.tools.loadtest import run_load
 
+        def stream_run(stream_params, suffix):
+            """One 50-stream realtime load; suffix tags the metric names."""
             n_streams = 4 if quick else 50
             tr_s = Transcriber(
-                cfg, params, tokenizer,
+                cfg, params if stream_params is None else stream_params,
+                tokenizer,
                 prefill_buckets=(128, 512),  # interim + final buckets only
             )
             # dedicated (natural) cache shapes: the stream engine's shorter
-            # prompts make every decode step read ~55% less KV cache; the
+            # prompts make every decode step read far less KV cache; the
             # persistent compile cache amortizes the extra program set
             s_engine = BatchedEngine(
                 tr_s, EnergyVad(), slots=4 if quick else 32,
                 max_decode_tokens=200,
             )
+            t_w = time.perf_counter()
             s_engine.warmup()
+            warmup_s = time.perf_counter() - t_w
             app_cfg = AppConfig()
             loop2 = asyncio.new_event_loop()
             loop2.run_until_complete(  # absorb scheduling warm-in
@@ -161,15 +169,30 @@ def main():
             )
             s_engine.shutdown()
             loop2.close()
-            stream_metrics = {
+            return {
                 "realtime_streams": n_streams,
-                "stream_interim_p50_ms": m["interim_p50_ms"],
-                "stream_interim_p95_ms": m["interim_p95_ms"],
-                "stream_committed": m["committed_count"],
-                "stream_ingest_lag_s": m["max_ingest_lag_s"],
+                f"stream_interim_p50_ms{suffix}": m["interim_p50_ms"],
+                f"stream_interim_p95_ms{suffix}": m["interim_p95_ms"],
+                f"stream_committed{suffix}": m["committed_count"],
+                f"stream_ingest_lag_s{suffix}": m["max_ingest_lag_s"],
+                f"stream_warmup_s{suffix}": round(warmup_s, 1),
             }
+
+        try:
+            stream_metrics = stream_run(None, "")
         except Exception as e:  # keep the primary metric robust
             stream_metrics = {"stream_error": str(e)[:200]}
+        # int8 weight-only serving as a first-class recorded variant (the
+        # reference ships an int8 mode, backend/asr.py:148-210)
+        if not quick and quant != "int8" and "--no-int8" not in sys.argv:
+            try:
+                from sonicscribe_tpu.ops.quant import quantize_params_int8
+
+                stream_metrics.update(
+                    stream_run(quantize_params_int8(params), "_int8")
+                )
+            except Exception as e:
+                stream_metrics["stream_int8_error"] = str(e)[:200]
 
     result = {
         "metric": "file_rtf_batched",

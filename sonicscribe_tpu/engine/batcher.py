@@ -152,7 +152,8 @@ def _prefill_common(
 @partial(
     jax.jit,
     static_argnames=("cfg",),
-    donate_argnums=(7, 8, 9, 10, 11, 12, 13),
+    # out_tokens (argnum 11) is not donated — see _decode_k_program
+    donate_argnums=(7, 8, 9, 10, 12, 13),
 )
 def _prefill_slots_program(
     params,
@@ -184,7 +185,8 @@ def _prefill_slots_program(
 @partial(
     jax.jit,
     static_argnames=("cfg", "mel_cfg", "n_chunks", "mel_dtype"),
-    donate_argnums=(8, 9, 10, 11, 12, 13, 14),
+    # out_tokens (argnum 12) is not donated — see _decode_k_program
+    donate_argnums=(8, 9, 10, 11, 13, 14),
 )
 def _prefill_ring_program(
     params,
@@ -228,7 +230,10 @@ def _prefill_ring_program(
 @partial(
     jax.jit,
     static_argnames=("cfg", "k_steps", "use_flash"),
-    donate_argnums=(2, 3, 4, 5, 6, 7, 8),
+    # out_tokens (argnum 6) is NOT donated: the scheduler parks the output
+    # handle and fetches finished rows one tick later, concurrently with the
+    # next decode program — donation would tie the fetch to that program
+    donate_argnums=(2, 3, 4, 5, 7, 8),
 )
 def _decode_k_program(
     params,
@@ -321,6 +326,47 @@ class _SlotState:
     budget: int = 0
     active: bool = False
     steps_seen: int = 0  # decode steps dispatched while this slot was active
+
+
+@dataclass
+class _CachePool:
+    """One decode class: its own KV cache + slot pool + compiled programs.
+
+    The engine runs TWO pools — "short" for the latency-critical interim
+    class (small cache, one slot per realtime stream, so a synchronized
+    burst of interims admits in ONE wave and finishes in ONE k-step
+    program) and "long" for finals / file segments. Splitting by cache
+    requirement keeps every program's shapes static AND sized to its class:
+    decode cost scales with rows x max_len, so interims never pay for the
+    file class's 30 s cache rows, and a burst never splits into waves that
+    double the tail. (Measured motivation: bench_kcap history — one shared
+    pool put the 50-stream burst's second wave at ~480 ms p95.)
+    """
+
+    name: str
+    max_len: int
+    trash_slot: int  # == n_slots; rows beyond it are dp padding
+    cache_k: Any = None
+    cache_v: Any = None
+    cache_len: Any = None
+    last_tok: Any = None
+    out_tokens: Any = None
+    n_emitted: Any = None
+    done: Any = None
+    bias: Any = None
+    budgets: Any = None
+    bias_dirty: list = field(default_factory=list)
+    slots: list = field(default_factory=list)
+    compiled_prefill: set = field(default_factory=set)
+    compiled_ring_prefill: set = field(default_factory=set)
+
+    @property
+    def n_active(self) -> int:
+        return sum(s.active for s in self.slots)
+
+    @property
+    def free(self) -> int:
+        return len(self.slots) - self.n_active
 
 
 @dataclass
@@ -425,43 +471,85 @@ class BatchedEngine:
         self.max_prompt = 3 + max_audio_tokens + MAX_SUFFIX_TOKENS
         # cache_len may be overridden upward so engines with different bucket
         # sets share identical decode-program shapes (one compile)
-        self.MAX_LEN = max(cache_len or 0, self.max_prompt + max_decode_tokens)
+        long_max_len = max(cache_len or 0, self.max_prompt + max_decode_tokens)
         dtype = cache_dtype or jax.tree.leaves(transcriber.params)[0].dtype
         if dtype == jnp.int8:  # quantized params: cache stays bf16
             dtype = jnp.bfloat16
         self.use_flash = flash_decode == "on"
         if self.use_flash:
             # the flash kernel iterates 128-position KV blocks
-            self.MAX_LEN = ((self.MAX_LEN + 127) // 128) * 128
-        # slot index S is the TRASH slot: padding rows of batched prefills
-        # land there; it is permanently done and never scheduled. Under data
-        # parallelism rows is rounded up so the slot axis shards evenly.
-        rows = _rup(slots + 1)
-        shape = (dec.n_layers, rows, self.MAX_LEN, dec.n_kv_heads, dec.head_dim)
-        self.cache_k = _shard(jnp.zeros(shape, dtype), axis=1)
-        self.cache_v = _shard(jnp.zeros(shape, dtype), axis=1)
-        self.cache_len = _shard(jnp.zeros((rows,), jnp.int32))
-        self.last_tok = _shard(jnp.zeros((rows,), jnp.int32))
-        self.out_tokens = _shard(jnp.zeros((rows, max_decode_tokens), jnp.int32))
-        self.n_emitted = _shard(jnp.zeros((rows,), jnp.int32))
-        self.done = _shard(jnp.ones((rows,), bool))
-        self.bias = _shard(jnp.zeros((rows, dec.vocab_size), jnp.float32))
-        self.budgets = _shard(jnp.zeros((rows,), jnp.int32))
-        # host-side dirty tracking: a hotword bias row is ~240 KB; uploading
-        # one per admit saturates tunnel h2d bandwidth, so zero rows are
-        # zeroed by an on-device broadcast and only real hotword rows upload
-        self._bias_dirty = [False] * rows
-        self.trash_slot = slots
+            long_max_len = ((long_max_len + 127) // 128) * 128
+
+        def make_pool(
+            name: str, n_slots: int, max_len: int, out_width: int
+        ) -> _CachePool:
+            # slot index n_slots is the TRASH slot: padding rows of batched
+            # prefills land there; it is permanently done and never
+            # scheduled. Under data parallelism rows is rounded up so the
+            # slot axis shards evenly.
+            if self.use_flash:
+                # the flash kernel iterates 128-position KV blocks
+                max_len = ((max_len + 127) // 128) * 128
+            rows = _rup(n_slots + 1)
+            shape = (dec.n_layers, rows, max_len, dec.n_kv_heads, dec.head_dim)
+            return _CachePool(
+                name=name,
+                max_len=max_len,
+                trash_slot=n_slots,
+                cache_k=_shard(jnp.zeros(shape, dtype), axis=1),
+                cache_v=_shard(jnp.zeros(shape, dtype), axis=1),
+                cache_len=_shard(jnp.zeros((rows,), jnp.int32)),
+                last_tok=_shard(jnp.zeros((rows,), jnp.int32)),
+                # out_width bounds the per-tick token fetch: the short pool's
+                # buffer is ~16x narrower, which matters on RTT-bound links
+                out_tokens=_shard(jnp.zeros((rows, out_width), jnp.int32)),
+                n_emitted=_shard(jnp.zeros((rows,), jnp.int32)),
+                done=_shard(jnp.ones((rows,), bool)),
+                # host-side dirty tracking: a hotword bias row is ~240 KB;
+                # uploading one per admit saturates tunnel h2d bandwidth, so
+                # zero rows are zeroed on device and only hotword rows upload
+                bias=_shard(jnp.zeros((rows, dec.vocab_size), jnp.float32)),
+                budgets=_shard(jnp.zeros((rows,), jnp.int32)),
+                bias_dirty=[False] * rows,
+                slots=[_SlotState() for _ in range(n_slots)],
+            )
+
+        # suffix buckets: the instruction suffix is padded to a STATIC width
+        # per compiled program. Padding everything to MAX_SUFFIX_TOKENS (160)
+        # made prefill compute-bound on padding (a ~40-token interim prompt
+        # ran 179 decoder positions, measured 60 ms per B=16 prefill), so the
+        # default no-hotword suffix gets a tight bucket and only
+        # hotword-bearing prompts pay the 160-wide one.
+        base_suffix = len(build_prompt(transcriber.tokenizer, self.cfg).suffix_ids)
+        sb0 = min(MAX_SUFFIX_TOKENS, ((base_suffix + 2 + 7) // 8) * 8)
+        self.suffix_buckets = (
+            (sb0, MAX_SUFFIX_TOKENS) if sb0 < MAX_SUFFIX_TOKENS else (sb0,)
+        )
+
+        # short pool: the interim class — smallest mel bucket + the default
+        # suffix bucket + a small token budget; one slot per realtime stream
+        # so a synchronized interim burst admits in ONE wave (sessions hold
+        # <=1 decode in flight each)
+        self.short_budget = min(16, max_decode_tokens)
+        smallest_prompt = (
+            3
+            + min(transcriber.buckets) // self.cfg.frames_per_audio_token
+            + self.suffix_buckets[0]
+        )
+        self.long = make_pool("long", slots, long_max_len, max_decode_tokens)
+        self.short = make_pool(
+            "short", n_streams, smallest_prompt + self.short_budget,
+            self.short_budget,
+        )
+        self.pools = (self.short, self.long)
 
         # (bucket, B) prefill-program sizes compiled at warmup; groups are
         # split to compiled sizes at runtime so no request ever pays a
         # surprise multi-second XLA compile
         self.prefill_batch_choices = tuple(
-            b for b in (1, 2, 4, 8, 16) if b <= max(1, slots)
+            b for b in (1, 2, 4, 8, 16) if b <= max(1, slots, n_streams)
         )
-        self._compiled_prefill: set[tuple[int, int]] = set()
 
-        self.slots = [_SlotState() for _ in range(slots)]
         self._vad_program = None
         self._vad_n_sub = -1
         self._requests: asyncio.Queue[_TranscribeReq] = asyncio.Queue()
@@ -495,12 +583,34 @@ class BatchedEngine:
         self.chunk_buckets = sorted(
             b * 160 // CHUNK_SAMPLES for b in transcriber.buckets
         )
-        self._compiled_ring_prefill: set[tuple[int, int]] = set()
         self._task: Optional[asyncio.Task] = None
         self._running = False
+        # previous tick's unresolved device handles (pipelined scheduling)
+        self._pending_results: Optional[dict] = None
+        # overflow requests a full pool couldn't admit this tick
+        self._ring_backlog: list[_RingTranscribeReq] = []
+        self._host_backlog: list[_TranscribeReq] = []
         self.stats = {"ticks": 0, "decode_steps": 0, "prefills": 0, "vad_batches": 0}
+        # decode-k caps: a mid-tick arrival waits for the in-flight program,
+        # so these bound queueing latency (tuned on-chip; see bench history)
+        self.pending_k_cap = 16
+        self.live_k_cap = 32
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots
+
+    # ---- compatibility views (tests/benches introspect the long pool) ----
+
+    @property
+    def cache_k(self):
+        return self.long.cache_k
+
+    @property
+    def out_tokens(self):
+        return self.long.out_tokens
+
+    @property
+    def MAX_LEN(self) -> int:
+        return self.long.max_len
 
     # ---------------- public async interface ----------------
 
@@ -518,6 +628,7 @@ class BatchedEngine:
             self._requests = asyncio.Queue()
             self._vad_requests = asyncio.Queue()
             self._wake = asyncio.Event()
+            self._pending_results = None  # stale handles die with the old loop
             self._running = True
             self._task = asyncio.ensure_future(self._scheduler())
 
@@ -647,38 +758,49 @@ class BatchedEngine:
 
     def warmup(self, budgets=(15, 200, 256), full: bool = False) -> None:
         """Synchronously compile the prefill-program grid and the decode-k
-        programs (callable before the event loop starts).
+        programs for BOTH cache pools (callable before the event loop
+        starts).
 
         Default grid: every batch size for the SMALLEST mel bucket (the
-        high-rate interim path) and B=1 for the others; `full=True` compiles
-        every (bucket, B) pair (production servers; slower warmup).
+        high-rate interim path, which lives in the short pool) and B=1 for
+        the others; `full=True` compiles every (bucket, B) pair (production
+        servers; slower warmup).
         """
         del budgets  # decode cost is per-k, not per-budget
         tr = self.transcriber
         prompt = build_prompt(tr.tokenizer, self.cfg)
-        suffix = np.full((MAX_SUFFIX_TOKENS,), self.cfg.pad_id, np.int32)
-        suffix[: len(prompt.suffix_ids)] = prompt.suffix_ids[:MAX_SUFFIX_TOKENS]
-        dtype = self.cache_k.dtype
+        n_suffix = min(len(prompt.suffix_ids), MAX_SUFFIX_TOKENS)
+
+        def suffix_arr(sb: int, B: int) -> np.ndarray:
+            arr = np.full((B, sb), self.cfg.pad_id, np.int32)
+            arr[:, : min(n_suffix, sb)] = prompt.suffix_ids[: min(n_suffix, sb)]
+            return arr
+
+        dtype = self.long.cache_k.dtype
         smallest = min(tr.buckets)
-        for bucket in tr.buckets:
-            choices = (
-                self.prefill_batch_choices
-                if (full or bucket == smallest)
-                else (1,)
-            )
-            for B in choices:
-                mels = jnp.zeros((B, bucket, tr.mel_cfg.n_mels), dtype)
-                self._dispatch_prefill_group(
-                    mels,
-                    np.full((B,), bucket, np.int32),
-                    np.asarray(prompt.prefix_ids),
-                    np.tile(suffix, (B, 1)),
-                    np.full((B,), len(prompt.suffix_ids), np.int32),
-                    [self.trash_slot] * B,
-                )
-                self._compiled_prefill.add((bucket, B))
-        for k in _DECODE_K_CHOICES:
-            self._dispatch_decode(k)
+        for pool in self.pools:
+            for bucket in tr.buckets:
+                for sb in self.suffix_buckets:
+                    if pool is self.short and self._pool_for(bucket, 1, sb) is not pool:
+                        continue  # short pool only hosts its feasible combos
+                    choices = (
+                        self.prefill_batch_choices
+                        if (full or bucket == smallest)
+                        else (1,)
+                    )
+                    for B in choices:
+                        mels = jnp.zeros((B, bucket, tr.mel_cfg.n_mels), dtype)
+                        self._dispatch_prefill_group(
+                            pool, mels,
+                            np.full((B,), bucket, np.int32),
+                            np.asarray(prompt.prefix_ids),
+                            suffix_arr(sb, B),
+                            np.full((B,), min(n_suffix, sb), np.int32),
+                            [pool.trash_slot] * B,
+                        )
+                        pool.compiled_prefill.add((bucket, sb, B))
+            for k in _DECODE_K_CHOICES:
+                self._dispatch_decode(pool, k)
         # VAD batch program: one jitted fn, but XLA compiles per batch bucket
         n_sub = 10240 // WINDOW_SAMPLES  # 640 ms gate window
         if self._vad_program is None or self._vad_n_sub != n_sub:
@@ -707,90 +829,115 @@ class BatchedEngine:
                 jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
                 jnp.zeros((B,), bool),
             )
-        mel_dtype = (
-            jnp.bfloat16
-            if jax.tree.leaves(tr.params)[0].dtype == jnp.bfloat16
-            else jnp.float32
-        )
         smallest_cb = min(self.chunk_buckets)
-        for cb in self.chunk_buckets:
-            choices = (
-                self.prefill_batch_choices
-                if (full or cb == smallest_cb)
-                else (1,)
+        for pool in self.pools:
+            for cb in self.chunk_buckets:
+                fb = cb * 1024 // 160  # frame bucket for this chunk bucket
+                for sb in self.suffix_buckets:
+                    if pool is self.short and self._pool_for(fb, 1, sb) is not pool:
+                        continue
+                    choices = (
+                        self.prefill_batch_choices
+                        if (full or cb == smallest_cb)
+                        else (1,)
+                    )
+                    for B in choices:
+                        self._dispatch_ring_prefill(
+                            pool,
+                            np.full((B,), self.trash_stream, np.int32),
+                            np.zeros((B,), np.int32),
+                            np.ones((B,), np.int32),
+                            prompt.prefix_ids,
+                            [pool.trash_slot] * B,
+                            suffix_arr(sb, B),
+                            np.full((B,), min(n_suffix, sb), np.int32),
+                            cb,
+                        )
+                        pool.compiled_ring_prefill.add((cb, sb, B))
+            # END-TO-END EXERCISE per pool: one real admit->decode->reap so
+            # every small utility op (bias row writes, status math, token
+            # fetch) is compiled too — on the remote AOT compiler even
+            # trivial first-use programs cost seconds, which would otherwise
+            # hit the first session.
+            pool.bias = pool.bias.at[0].set(jnp.zeros_like(pool.bias[0]))
+            pool.budgets = pool.budgets.at[0].set(3)
+            self._dispatch_ring_prefill(
+                pool,
+                np.full((1,), self.trash_stream, np.int32),
+                np.zeros((1,), np.int32),
+                np.ones((1,), np.int32),
+                prompt.prefix_ids,
+                [0],  # slot 0
+                suffix_arr(self.suffix_buckets[0], 1),
+                np.full((1,), min(n_suffix, self.suffix_buckets[0]), np.int32),
+                smallest_cb,
             )
-            for B in choices:
-                (
-                    self.cache_k, self.cache_v, self.cache_len, self.last_tok,
-                    self.out_tokens, self.n_emitted, self.done,
-                ) = _prefill_ring_program(
-                    tr.params, self.cfg, tr.mel_cfg, self.ring,
-                    jnp.full((B,), self.trash_stream, jnp.int32),
-                    jnp.zeros((B,), jnp.int32),
-                    jnp.ones((B,), jnp.int32),
-                    jnp.asarray(prompt.prefix_ids),
-                    self.cache_k, self.cache_v, self.cache_len, self.last_tok,
-                    self.out_tokens, self.n_emitted, self.done,
-                    self.bias, self.budgets,
-                    jnp.full((B,), self.trash_slot, jnp.int32),
-                    jnp.tile(suffix, (B, 1)),
-                    jnp.full((B,), len(prompt.suffix_ids), jnp.int32),
-                    n_chunks=cb,
-                    mel_dtype=mel_dtype,
-                )
-                self._compiled_ring_prefill.add((cb, B))
-        # END-TO-END EXERCISE: run one real admit->decode->reap cycle so every
-        # small utility op (bias row writes, status math, token-buffer fetch)
-        # is compiled too — on the remote AOT compiler even trivial first-use
-        # programs cost seconds, which would otherwise hit the first session.
-        self.bias = self.bias.at[0].set(jnp.zeros_like(self.bias[0]))
-        self.budgets = self.budgets.at[0].set(3)
-        cb0 = min(self.chunk_buckets)
-        (
-            self.cache_k, self.cache_v, self.cache_len, self.last_tok,
-            self.out_tokens, self.n_emitted, self.done,
-        ) = _prefill_ring_program(
-            tr.params, self.cfg, tr.mel_cfg, self.ring,
-            jnp.full((1,), self.trash_stream, jnp.int32),
-            jnp.zeros((1,), jnp.int32),
-            jnp.ones((1,), jnp.int32),
-            jnp.asarray(prompt.prefix_ids),
-            self.cache_k, self.cache_v, self.cache_len, self.last_tok,
-            self.out_tokens, self.n_emitted, self.done,
-            self.bias, self.budgets,
-            jnp.zeros((1,), jnp.int32),  # slot 0
-            jnp.tile(suffix, (1, 1)),
-            jnp.full((1,), len(prompt.suffix_ids), jnp.int32),
-            n_chunks=cb0,
-            mel_dtype=mel_dtype,
-        )
-        status = np.asarray(self._dispatch_decode(4))
-        _ = np.asarray(self.out_tokens)  # the reap fetch
-        del status
-
-        # reset slot state touched by warmup
-        self.cache_len = jnp.zeros_like(self.cache_len)
-        self.n_emitted = jnp.zeros_like(self.n_emitted)
-        self.done = jnp.ones_like(self.done)
-        self.budgets = jnp.zeros_like(self.budgets)
+            status = np.asarray(self._dispatch_decode(pool, 4))
+            _ = np.asarray(pool.out_tokens)  # the reap fetch
+            del status
+            # reset slot state touched by warmup
+            pool.cache_len = jnp.zeros_like(pool.cache_len)
+            pool.n_emitted = jnp.zeros_like(pool.n_emitted)
+            pool.done = jnp.ones_like(pool.done)
+            pool.budgets = jnp.zeros_like(pool.budgets)
         # IMPORTANT: on the remote-tunnel TPU, block_until_ready does NOT wait
         # (ops/compiles queue server-side; only transfers synchronize). A real
         # transfer of the last dispatched op drains the whole compile queue.
-        np.asarray(self.cache_len)
+        np.asarray(self.long.cache_len)
 
     # ---------------- device dispatch helpers ----------------
 
+    def _suffix_bucket(self, n_suffix: int) -> int:
+        for sb in self.suffix_buckets:
+            if n_suffix <= sb:
+                return sb
+        return self.suffix_buckets[-1]
+
+    def _prompt_len(self, frame_bucket: int, suffix_bucket: int | None = None) -> int:
+        return (
+            3
+            + frame_bucket // self.cfg.frames_per_audio_token
+            + (self.suffix_buckets[0] if suffix_bucket is None else suffix_bucket)
+        )
+
+    def _pool_for(
+        self, frame_bucket: int, budget: int, suffix_bucket: int | None = None
+    ) -> _CachePool:
+        """Route a request to the smallest pool whose cache fits its prompt
+        buffer + decode budget."""
+        need = self._prompt_len(frame_bucket, suffix_bucket) + budget
+        if need <= self.short.max_len and self.short.slots:
+            return self.short
+        return self.long
+
+    def _route_suffix_bucket(self, hotwords) -> int:
+        """Suffix bucket for a request (prompt construction is cached)."""
+        prompt = build_prompt(
+            self.transcriber.tokenizer, self.cfg, hotwords=hotwords
+        )
+        return self._suffix_bucket(
+            min(len(prompt.suffix_ids), MAX_SUFFIX_TOKENS)
+        )
+
+    def _mel_dtype(self):
+        return (
+            jnp.bfloat16
+            if jax.tree.leaves(self.transcriber.params)[0].dtype == jnp.bfloat16
+            else jnp.float32
+        )
+
     def _dispatch_prefill_group(
-        self, mels, frames, prefix, suffixes, suffix_lens, slot_list
+        self, pool: _CachePool, mels, frames, prefix, suffixes, suffix_lens,
+        slot_list,
     ):
         (
-            self.cache_k,
-            self.cache_v,
-            self.cache_len,
-            self.last_tok,
-            self.out_tokens,
-            self.n_emitted,
-            self.done,
+            pool.cache_k,
+            pool.cache_v,
+            pool.cache_len,
+            pool.last_tok,
+            pool.out_tokens,
+            pool.n_emitted,
+            pool.done,
         ) = _prefill_slots_program(
             self.transcriber.params,
             self.cfg,
@@ -799,40 +946,67 @@ class BatchedEngine:
             jnp.asarray(prefix),
             jnp.asarray(suffixes),
             jnp.asarray(suffix_lens, jnp.int32),
-            self.cache_k,
-            self.cache_v,
-            self.cache_len,
-            self.last_tok,
-            self.out_tokens,
-            self.n_emitted,
-            self.done,
-            self.bias,
-            self.budgets,
+            pool.cache_k,
+            pool.cache_v,
+            pool.cache_len,
+            pool.last_tok,
+            pool.out_tokens,
+            pool.n_emitted,
+            pool.done,
+            pool.bias,
+            pool.budgets,
             jnp.asarray(slot_list, jnp.int32),
         )
 
-    def _dispatch_decode(self, k: int):
+    def _dispatch_ring_prefill(
+        self, pool: _CachePool, stream_idx, start, count, prefix, slot_list,
+        suffixes, suffix_lens, n_chunks: int,
+    ):
+        tr = self.transcriber
         (
-            self.cache_k,
-            self.cache_v,
-            self.cache_len,
-            self.last_tok,
-            self.out_tokens,
-            self.n_emitted,
-            self.done,
+            pool.cache_k, pool.cache_v, pool.cache_len, pool.last_tok,
+            pool.out_tokens, pool.n_emitted, pool.done,
+        ) = _prefill_ring_program(
+            tr.params,
+            self.cfg,
+            tr.mel_cfg,
+            self.ring,
+            jnp.asarray(stream_idx, jnp.int32),
+            jnp.asarray(start, jnp.int32),
+            jnp.asarray(count, jnp.int32),
+            jnp.asarray(prefix),
+            pool.cache_k, pool.cache_v, pool.cache_len, pool.last_tok,
+            pool.out_tokens, pool.n_emitted, pool.done,
+            pool.bias, pool.budgets,
+            jnp.asarray(slot_list, jnp.int32),
+            jnp.asarray(suffixes),
+            jnp.asarray(suffix_lens, jnp.int32),
+            n_chunks=n_chunks,
+            mel_dtype=self._mel_dtype(),
+        )
+
+    def _dispatch_decode(self, pool: _CachePool, k: int):
+        (
+            pool.cache_k,
+            pool.cache_v,
+            pool.cache_len,
+            pool.last_tok,
+            pool.out_tokens,
+            pool.n_emitted,
+            pool.done,
             status,
         ) = _decode_k_program(
             self.transcriber.params,
             self.cfg,
-            self.cache_k,
-            self.cache_v,
-            self.cache_len,
-            self.last_tok,
-            self.out_tokens,
-            self.n_emitted,
-            self.done,
-            self.bias,
-            self.budgets,
+            pool.cache_k,
+            pool.cache_v,
+            pool.cache_len,
+            pool.last_tok,
+            pool.out_tokens,
+            pool.n_emitted,
+            pool.done,
+            pool.bias,
+            pool.budgets,
             k,
             self.use_flash,
         )
@@ -842,7 +1016,7 @@ class BatchedEngine:
 
     @property
     def _n_active(self) -> int:
-        return sum(s.active for s in self.slots)
+        return sum(p.n_active for p in self.pools)
 
     async def _scheduler(self) -> None:
         loop = asyncio.get_running_loop()
@@ -862,33 +1036,31 @@ class BatchedEngine:
                 ring_vad_batch = []
                 while not self._vad_ring_requests.empty():
                     ring_vad_batch.append(self._vad_ring_requests.get_nowait())
-                free = self.S - self._n_active
-                ring_pending: list[_RingTranscribeReq] = []
-                while not self._ring_requests.empty() and len(ring_pending) < free:
-                    ring_pending.append(self._ring_requests.get_nowait())
-                free -= len(ring_pending)
-                pending: list[_TranscribeReq] = []
-                while not self._requests.empty() and len(pending) < free:
-                    pending.append(self._requests.get_nowait())
+                # drain everything into the backlogs; the tick admits what
+                # fits each pool and carries the overflow forward
+                while not self._ring_requests.empty():
+                    self._ring_backlog.append(self._ring_requests.get_nowait())
+                while not self._requests.empty():
+                    self._host_backlog.append(self._requests.get_nowait())
 
                 did_work = bool(
                     self._ingest_pending
                     or vad_batch
                     or ring_vad_batch
-                    or ring_pending
-                    or pending
+                    or self._ring_backlog
+                    or self._host_backlog
                     or self._n_active
+                    or self._pending_results
                 )
                 if did_work:
                     # one executor hop per tick: dispatch every phase, then
-                    # ONE combined device_get round trip for all results
+                    # resolve the PREVIOUS tick's device results — the fetch
+                    # RTT overlaps this tick's device execution (pipelined)
                     await loop.run_in_executor(
                         None,
                         self._tick,
                         vad_batch,
                         ring_vad_batch,
-                        ring_pending,
-                        pending,
                     )
 
                 self.stats["ticks"] += 1
@@ -905,59 +1077,133 @@ class BatchedEngine:
             pass
         except Exception:
             logger.exception("batcher scheduler crashed")
-            for s in self.slots:
-                if s.active and s.request and not s.request.future.done():
-                    s.request.future.set_exception(RuntimeError("batcher crashed"))
+            exc = RuntimeError("batcher crashed")
+            for pool in self.pools:
+                for s in pool.slots:
+                    if s.active and s.request and not s.request.future.done():
+                        s.request.future.set_exception(exc)
+            for req in self._ring_backlog + self._host_backlog:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+            self._fail_pending(exc)
+        finally:
+            self._fail_pending(RuntimeError("batcher stopped"))
+
+    def _fail_pending(self, exc: Exception) -> None:
+        pending, self._pending_results = self._pending_results, None
+        if not pending:
+            return
+        for r in pending.get("ring_vad_batch", ()):
+            if not r.future.done():
+                r.future.get_loop().call_soon_threadsafe(
+                    r.future.set_exception, exc
+                )
 
     def _tick(
         self,
         vad_batch: list[_VadReq],
         ring_vad_batch: list[_VadRingReq],
-        ring_pending: list[_RingTranscribeReq],
-        pending: list[_TranscribeReq],
     ) -> None:
-        """One full scheduler tick on the device thread. Dispatch order
-        matters (chunks land before VAD/prefill reads them); results come
-        back in a single combined transfer."""
+        """One full scheduler tick on the device thread, PIPELINED: dispatch
+        this tick's programs first, then resolve the PREVIOUS tick's device
+        results. The blocking device_get's ~27 ms tunnel RTT then overlaps
+        this tick's decode execution instead of stalling the loop (measured:
+        a d2h fetch does not wait for later-dispatched programs). Finished
+        requests are reaped one tick late; in exchange every tick's RTT is
+        hidden, which is a strict win at realtime tick rates."""
         # 0) ship ALL sessions' new audio chunks in ONE packed upload
         if self._ingest_pending:
             self._scatter_ingest()
 
-        # 1) VAD programs (dispatch only)
+        # 1) VAD programs (dispatch only; host-audio VAD resolves inline)
         vad_done = self._run_vad_batch(vad_batch) if vad_batch else None
         ring_vad_probs = (
             self._dispatch_vad_ring(ring_vad_batch) if ring_vad_batch else None
         )
 
-        # 2) admits (dispatch only)
-        if ring_pending:
-            self._admit_ring_grouped(ring_pending)
-        if pending:
-            self._admit_grouped(pending)
+        # 2) admits from the backlogs, routed per pool (dispatch only). If a
+        # pool is starved while its class has a burst waiting, resolve the
+        # previous tick NOW (one early RTT) to free its finished slots.
+        if self._ring_backlog or self._host_backlog:
+            if self._pending_results is not None and self._any_pool_starved():
+                self._resolve_pending()
+            self._admit_backlogs()
 
-        # 3) decode K steps (dispatch only)
-        status_dev = self._dispatch_decode_tick() if self._n_active else None
+        # 3) decode K steps per pool (dispatch only). If every active slot
+        # has provably exhausted its budget (the device is surely done),
+        # resolve FIRST — otherwise we'd dispatch a wasted k=1 program and
+        # delay every finish by one more tick.
+        if self._pending_results is not None and self._all_surely_done():
+            self._resolve_pending()
+        parked = self._dispatch_decode_all()
 
-        # 4) ONE round trip for every result produced this tick
-        fetch = {}
-        if ring_vad_probs is not None:
-            fetch["ring_vad"] = ring_vad_probs
-        if status_dev is not None:
-            fetch["status"] = status_dev
-        host = jax.device_get(fetch) if fetch else {}
+        # 4) resolve the PREVIOUS tick's results (fetch overlaps step-3 work:
+        # everything fetched here was produced by programs dispatched LAST
+        # tick, so the only wait is their remaining execution + one RTT)
+        self._resolve_pending()
         del vad_done
 
+        # 5) park this tick's device handles for the next tick (out_tokens is
+        # not donated, so these handles stay valid across later dispatches)
+        if ring_vad_probs is not None or parked:
+            self._pending_results = {
+                "ring_vad": ring_vad_probs,
+                "ring_vad_batch": ring_vad_batch,
+                "pools": parked,
+            }
+
+    # ---------------- device work ----------------
+
+    def _all_surely_done(self) -> bool:
+        """True if every active slot has already been driven past its token
+        budget (n starts at 1 after prefill, so steps_seen >= budget-1 means
+        the device-side done flag is guaranteed set)."""
+        any_active = False
+        for pool in self.pools:
+            for s in pool.slots:
+                if s.active:
+                    any_active = True
+                    if s.steps_seen < s.budget - 1:
+                        return False
+        return any_active
+
+    def _any_pool_starved(self) -> bool:
+        """True if a backlogged request targets a pool with zero free slots."""
+        for req in self._ring_backlog:
+            cb = self._pick_chunk_bucket(req.chunk_count)
+            pool = self._pool_for(
+                cb * 1024 // 160, req.max_new_tokens,
+                self._route_suffix_bucket(req.hotwords),
+            )
+            if pool.free == 0:
+                return True
+        if self._host_backlog and self.long.free == 0:
+            return True
+        return False
+
+    def _resolve_pending(self) -> None:
+        """Fetch + resolve the parked previous-tick device results (VAD
+        probabilities, per-pool decode status + token rows). One combined
+        transfer."""
+        prev, self._pending_results = self._pending_results, None
+        if not prev:
+            return
+        fetch = {}
+        if prev.get("ring_vad") is not None:
+            fetch["ring_vad"] = prev["ring_vad"]
+        for i, (_pool, status, tokens, _reqs) in enumerate(prev.get("pools", ())):
+            fetch[f"status{i}"] = status
+            fetch[f"tokens{i}"] = tokens
+        host = jax.device_get(fetch) if fetch else {}
         if "ring_vad" in host:
             probs_host = host["ring_vad"]
             self.stats["vad_batches"] += 1
-            for j, r in enumerate(ring_vad_batch):
+            for j, r in enumerate(prev["ring_vad_batch"]):
                 r.future.get_loop().call_soon_threadsafe(
                     _resolve_quietly, r.future, float(probs_host[j])
                 )
-        if "status" in host:
-            self._reap_decode(host["status"])
-
-    # ---------------- device work ----------------
+        for i, (pool, _status, _tokens, reqs) in enumerate(prev.get("pools", ())):
+            self._reap_decode(pool, host[f"status{i}"], host[f"tokens{i}"], reqs)
 
     def _scatter_ingest(self) -> None:
         """Pack every pending chunk from every session into one int16 upload
@@ -1022,47 +1268,97 @@ class BatchedEngine:
                 return b
         return self.chunk_buckets[-1]
 
-    def _admit_ring_grouped(self, reqs: list[_RingTranscribeReq]) -> None:
-        # latency-priority: short-budget (interim) requests admit first so a
-        # burst of long finals never starves sub-second interim results
-        reqs = sorted(reqs, key=lambda r: r.max_new_tokens)
-        by_bucket: dict[int, list[_RingTranscribeReq]] = {}
+    def _admit_backlogs(self) -> None:
+        """Route backlogged requests to their pools by cache need; admit what
+        fits each pool's free slots, carry the overflow to the next tick.
+        Latency-priority: short-budget (interim) requests first."""
+        free = {id(p): p.free for p in self.pools}
+        if self._ring_backlog:
+            keep: list[_RingTranscribeReq] = []
+            take: dict[int, list[_RingTranscribeReq]] = {}
+            for req in sorted(self._ring_backlog, key=lambda r: r.max_new_tokens):
+                cb = self._pick_chunk_bucket(req.chunk_count)
+                pool = self._pool_for(
+                    cb * 1024 // 160, req.max_new_tokens,
+                    self._route_suffix_bucket(req.hotwords),
+                )
+                if free[id(pool)] > 0:
+                    free[id(pool)] -= 1
+                    take.setdefault(id(pool), []).append(req)
+                else:
+                    keep.append(req)
+            self._ring_backlog = keep
+            for pool in self.pools:
+                items = take.get(id(pool))
+                if items:
+                    self._admit_ring_grouped(pool, items)
+        if self._host_backlog:
+            keep_h: list[_TranscribeReq] = []
+            take_h: dict[int, list[_TranscribeReq]] = {}
+            from sonicscribe_tpu.audio.mel import frame_count
+
+            tr = self.transcriber
+            for req in sorted(self._host_backlog, key=lambda r: r.max_new_tokens):
+                est = int(len(req.audio) * 16000 / max(req.sample_rate, 1))
+                bucket = tr._pick_bucket(max(1, frame_count(est, tr.mel_cfg)))
+                pool = self._pool_for(
+                    bucket, req.max_new_tokens,
+                    self._route_suffix_bucket(req.hotwords),
+                )
+                if free[id(pool)] > 0:
+                    free[id(pool)] -= 1
+                    take_h.setdefault(id(pool), []).append(req)
+                else:
+                    keep_h.append(req)
+            self._host_backlog = keep_h
+            for pool in self.pools:
+                items_h = take_h.get(id(pool))
+                if items_h:
+                    self._admit_grouped(pool, items_h)
+
+    def _admit_ring_grouped(
+        self, pool: _CachePool, reqs: list[_RingTranscribeReq]
+    ) -> None:
+        by_key: dict[tuple[int, int], list[_RingTranscribeReq]] = {}
         for req in reqs:
             bucket = self._pick_chunk_bucket(req.chunk_count)
-            by_bucket.setdefault(bucket, []).append(req)
-        for bucket, items in by_bucket.items():
+            sb = self._route_suffix_bucket(req.hotwords)
+            by_key.setdefault((bucket, sb), []).append(req)
+        for (bucket, sb), items in by_key.items():
             idx = 0
             while idx < len(items):
                 rest = len(items) - idx
                 B = max(
                     (b for b in self.prefill_batch_choices
-                     if b <= rest and (bucket, b) in self._compiled_ring_prefill),
+                     if b <= rest
+                     and (bucket, sb, b) in pool.compiled_ring_prefill),
                     default=1,
                 )
-                self._admit_ring_group(bucket, items[idx : idx + B], B)
+                self._admit_ring_group(pool, bucket, sb, items[idx : idx + B], B)
                 idx += B
 
     def _admit_ring_group(
-        self, bucket: int, items: list[_RingTranscribeReq], B: int
+        self, pool: _CachePool, bucket: int, sb: int,
+        items: list[_RingTranscribeReq], B: int,
     ) -> None:
         tr = self.transcriber
-        free = [i for i, s in enumerate(self.slots) if not s.active]
+        free = [i for i, s in enumerate(pool.slots) if not s.active]
         slot_list = free[: len(items)]
         assert len(slot_list) == len(items), "scheduler overfilled slots"
 
         stream_idx = np.full((B,), self.trash_stream, np.int32)
         start = np.zeros((B,), np.int32)
         count = np.full((B,), 1, np.int32)
-        suffixes = np.full((B, MAX_SUFFIX_TOKENS), self.cfg.pad_id, np.int32)
+        suffixes = np.full((B, sb), self.cfg.pad_id, np.int32)
         suffix_lens = np.zeros((B,), np.int32)
-        padded_slots = slot_list + [self.trash_slot] * (B - len(items))
+        padded_slots = slot_list + [pool.trash_slot] * (B - len(items))
         prefix = None
 
         sbb = []
         for j, req in enumerate(items):
             prompt = build_prompt(tr.tokenizer, self.cfg, hotwords=req.hotwords)
             prefix = prompt.prefix_ids
-            s_ids = prompt.suffix_ids[:MAX_SUFFIX_TOKENS]
+            s_ids = prompt.suffix_ids[:sb]
             suffixes[j, : len(s_ids)] = s_ids
             suffix_lens[j] = len(s_ids)
             stream_idx[j] = req.stream_idx
@@ -1073,37 +1369,15 @@ class BatchedEngine:
             count[j] = max(1, c)
             bias_ids = tr._hotword_token_ids(req.hotwords) if req.hotwords else None
             sbb.append((slot_list[j], bias_ids, req.max_new_tokens))
-        self._set_slot_bias_budget(sbb)
+        self._set_slot_bias_budget(pool, sbb)
         if prefix is None:
             prompt = build_prompt(tr.tokenizer, self.cfg)
             prefix = prompt.prefix_ids
 
-        mel_dtype = (
-            jnp.bfloat16
-            if jax.tree.leaves(tr.params)[0].dtype == jnp.bfloat16
-            else jnp.float32
-        )
         try:
-            (
-                self.cache_k, self.cache_v, self.cache_len, self.last_tok,
-                self.out_tokens, self.n_emitted, self.done,
-            ) = _prefill_ring_program(
-                tr.params,
-                self.cfg,
-                tr.mel_cfg,
-                self.ring,
-                jnp.asarray(stream_idx),
-                jnp.asarray(start),
-                jnp.asarray(count),
-                jnp.asarray(prefix),
-                self.cache_k, self.cache_v, self.cache_len, self.last_tok,
-                self.out_tokens, self.n_emitted, self.done,
-                self.bias, self.budgets,
-                jnp.asarray(padded_slots, jnp.int32),
-                jnp.asarray(suffixes),
-                jnp.asarray(suffix_lens),
-                n_chunks=bucket,
-                mel_dtype=mel_dtype,
+            self._dispatch_ring_prefill(
+                pool, stream_idx, start, count, prefix, padded_slots,
+                suffixes, suffix_lens, bucket,
             )
         except Exception as e:
             logger.exception("ring prefill group failed")
@@ -1115,7 +1389,7 @@ class BatchedEngine:
             return
 
         for req, slot_idx in zip(items, slot_list):
-            st = self.slots[slot_idx]
+            st = pool.slots[slot_idx]
             st.request = req
             st.budget = req.max_new_tokens
             st.active = True
@@ -1123,14 +1397,14 @@ class BatchedEngine:
         self.stats["prefills"] += len(items)
         self.stats["prefill_programs"] = self.stats.get("prefill_programs", 0) + 1
 
-    def _set_slot_bias_budget(self, slot_bias_budget: list) -> None:
+    def _set_slot_bias_budget(self, pool: _CachePool, slot_bias_budget: list) -> None:
         """(slot, bias_ids|None, budget) triples for one admit group — one
         batched budget write; hotword bias rows are BUILT ON DEVICE from the
         boosted token ids (a [V]-row upload costs ~240 KB, which at 50
         requests/s saturates host->device bandwidth)."""
         slots = [s for s, _, _ in slot_bias_budget]
         budgets = [b for _, _, b in slot_bias_budget]
-        self.budgets = self.budgets.at[jnp.asarray(slots, jnp.int32)].set(
+        pool.budgets = pool.budgets.at[jnp.asarray(slots, jnp.int32)].set(
             jnp.asarray(budgets, jnp.int32)
         )
         zero_slots = []
@@ -1141,13 +1415,13 @@ class BatchedEngine:
                     .at[jnp.asarray(bias_ids, jnp.int32)]
                     .set(self.transcriber.hotword_bias_strength)
                 )
-                self.bias = self.bias.at[slot].set(row)
-                self._bias_dirty[slot] = True
-            elif self._bias_dirty[slot]:
+                pool.bias = pool.bias.at[slot].set(row)
+                pool.bias_dirty[slot] = True
+            elif pool.bias_dirty[slot]:
                 zero_slots.append(slot)
-                self._bias_dirty[slot] = False
+                pool.bias_dirty[slot] = False
         if zero_slots:
-            self.bias = self.bias.at[jnp.asarray(zero_slots, jnp.int32)].set(0.0)
+            pool.bias = pool.bias.at[jnp.asarray(zero_slots, jnp.int32)].set(0.0)
 
     def _prepare_request(self, req: _TranscribeReq):
         """Host+dispatch prep: -> (bucket, mel [T,nm], frames, suffix,
@@ -1167,43 +1441,52 @@ class BatchedEngine:
                 mel = mel.astype(jnp.bfloat16)
 
             prompt = build_prompt(tr.tokenizer, self.cfg, hotwords=req.hotwords)
-            suffix = np.full((MAX_SUFFIX_TOKENS,), self.cfg.pad_id, np.int32)
             s_ids = prompt.suffix_ids[:MAX_SUFFIX_TOKENS]
+            sb = self._suffix_bucket(len(s_ids))
+            suffix = np.full((sb,), self.cfg.pad_id, np.int32)
             suffix[: len(s_ids)] = s_ids
             bias_ids = tr._hotword_token_ids(req.hotwords) if req.hotwords else None
-            return bucket, mel, frames, prompt.prefix_ids, suffix, len(s_ids), bias_ids
+            return (
+                bucket, mel, frames, prompt.prefix_ids, suffix, len(s_ids),
+                bias_ids, sb,
+            )
         except Exception as e:
             logger.exception("request prep failed")
             if not req.future.done():
                 req.future.get_loop().call_soon_threadsafe(req.future.set_exception, e)
             return None
 
-    def _admit_grouped(self, reqs: list[_TranscribeReq]) -> None:
+    def _admit_grouped(self, pool: _CachePool, reqs: list[_TranscribeReq]) -> None:
         """Group by mel bucket, split to compiled batch sizes, dispatch one
         prefill program per group."""
-        by_bucket: dict[int, list] = {}
+        by_key: dict[tuple[int, int], list] = {}
         for req in reqs:
             prep = self._prepare_request(req)
             if prep is None:
                 continue
-            by_bucket.setdefault(prep[0], []).append((req, prep))
+            # the routing estimate used pre-resample length; if the true
+            # bucket no longer fits this pool, bounce to the next tick
+            real_pool = self._pool_for(prep[0], req.max_new_tokens, prep[7])
+            if real_pool is not pool:
+                self._host_backlog.append(req)
+                continue
+            by_key.setdefault((prep[0], prep[7]), []).append((req, prep))
 
-        for bucket, items in by_bucket.items():
+        for (bucket, sb), items in by_key.items():
             idx = 0
             while idx < len(items):
                 rest = len(items) - idx
                 # largest COMPILED batch size <= remaining (B=1 always compiled)
                 B = max(
                     (b for b in self.prefill_batch_choices
-                     if b <= rest and (bucket, b) in self._compiled_prefill),
+                     if b <= rest and (bucket, sb, b) in pool.compiled_prefill),
                     default=1,
                 )
-                self._admit_group(bucket, items[idx : idx + B], B)
+                self._admit_group(pool, bucket, items[idx : idx + B], B)
                 idx += B
 
-    def _admit_group(self, bucket: int, items: list, B: int) -> None:
-        tr = self.transcriber
-        free = [i for i, s in enumerate(self.slots) if not s.active]
+    def _admit_group(self, pool: _CachePool, bucket: int, items: list, B: int) -> None:
+        free = [i for i, s in enumerate(pool.slots) if not s.active]
         slot_list = free[: len(items)]
         assert len(slot_list) == len(items), "scheduler overfilled slots"
 
@@ -1221,19 +1504,20 @@ class BatchedEngine:
             [prep[5] for _, prep in items] + [items[0][1][5]] * (B - len(items)),
             np.int32,
         )
-        padded_slots = slot_list + [self.trash_slot] * (B - len(items))
+        padded_slots = slot_list + [pool.trash_slot] * (B - len(items))
 
         # per-slot bias/budget rows must land BEFORE the prefill program
         self._set_slot_bias_budget(
+            pool,
             [
                 (slot_idx, prep[6], req.max_new_tokens)
                 for (req, prep), slot_idx in zip(items, slot_list)
-            ]
+            ],
         )
 
         try:
             self._dispatch_prefill_group(
-                mels, frames, prefix, suffixes, suffix_lens, padded_slots
+                pool, mels, frames, prefix, suffixes, suffix_lens, padded_slots
             )
         except Exception as e:
             logger.exception("prefill group failed")
@@ -1245,7 +1529,7 @@ class BatchedEngine:
             return
 
         for (req, prep), slot_idx in zip(items, slot_list):
-            st = self.slots[slot_idx]
+            st = pool.slots[slot_idx]
             st.request = req
             st.budget = req.max_new_tokens
             st.active = True
@@ -1253,54 +1537,71 @@ class BatchedEngine:
         self.stats["prefills"] += len(items)
         self.stats["prefill_programs"] = self.stats.get("prefill_programs", 0) + 1
 
-    def _dispatch_decode_tick(self):
-        """Pick K and dispatch the decode program; returns the device status
-        array (fetched in the tick's combined transfer)."""
-        remaining = [
-            max(1, s.budget - 1 - s.steps_seen) for s in self.slots if s.active
-        ]
-        # the device enforces exact budget/EOS stops; k only shapes latency:
-        # smallest choice >= min remaining finishes the most-urgent slot in
-        # ONE tick (one status RTT); capped low while new requests wait so a
-        # long tick never delays an admit
-        min_rem = max(1, min(remaining)) if remaining else 1
-        k = next((c for c in _DECODE_K_CHOICES if c >= min_rem),
-                 _DECODE_K_CHOICES[-1])
-        if (
-            not self._requests.empty()
-            or not self._ring_requests.empty()
-            or not self._vad_ring_requests.empty()
-            or not self._vad_requests.empty()
-        ):
-            k = min(k, 16)
-        elif len(self._free_streams) < self.N_STREAMS:
-            # realtime sessions are live: keep ticks short so an interim
-            # arriving mid-tick never waits behind a 64-step finals tick
-            k = min(k, 32)
+    def _dispatch_decode_all(self) -> list:
+        """Per pool with active slots: pick K, dispatch its decode program.
+        Returns [(pool, status_dev, tokens_handle), ...] to park."""
+        parked = []
+        for pool in self.pools:
+            if pool.n_active == 0:
+                continue
+            remaining = [
+                max(1, s.budget - 1 - s.steps_seen)
+                for s in pool.slots
+                if s.active
+            ]
+            # the device enforces exact budget/EOS stops; k only shapes
+            # latency: smallest choice >= min remaining finishes the
+            # most-urgent slot in ONE tick; capped while requests wait or
+            # realtime sessions are live so a long tick never delays anyone
+            min_rem = max(1, min(remaining)) if remaining else 1
+            k = next((c for c in _DECODE_K_CHOICES if c >= min_rem),
+                     _DECODE_K_CHOICES[-1])
+            if (
+                self._ring_backlog
+                or self._host_backlog
+                or not self._requests.empty()
+                or not self._ring_requests.empty()
+                or not self._vad_ring_requests.empty()
+                or not self._vad_requests.empty()
+            ):
+                k = min(k, self.pending_k_cap)
+            elif len(self._free_streams) < self.N_STREAMS:
+                k = min(k, self.live_k_cap)
 
-        status = self._dispatch_decode(k)
-        self.stats["decode_steps"] += k
-        for s in self.slots:
-            if s.active:
-                s.steps_seen += k
-        return status
+            status = self._dispatch_decode(pool, k)
+            self.stats["decode_steps"] += k
+            for s in pool.slots:
+                if s.active:
+                    s.steps_seen += k
+            # snapshot request identities: resolution happens a tick later,
+            # and by then a reaped slot may already host a NEW request — a
+            # stale negative status row must never finish the newcomer
+            reqs = [s.request for s in pool.slots]
+            parked.append((pool, status, pool.out_tokens, reqs))
+        return parked
 
-    def _reap_decode(self, status: np.ndarray) -> None:
-        finished = [
-            i
-            for i, s in enumerate(self.slots)
-            if s.active and status[i] < 0
-        ]
-        if finished:
-            # fixed-shape fetch of the whole token buffer: avoids compiling a
-            # gather per finished-count (each first-use compile costs seconds
-            # on the remote AOT compiler) and is one bounded transfer (~33 KB)
-            rows = np.asarray(self.out_tokens)
-            for i in finished:
-                self._finish(i, rows[i], -int(status[i]) - 1)
+    def _reap_decode(
+        self, pool: _CachePool, status: np.ndarray, rows: np.ndarray, reqs: list
+    ) -> None:
+        """status/rows come from the SAME decode program (fetched together in
+        the tick's combined transfer): a slot done at that program stays
+        frozen by later programs, so its row is final. `reqs` is the per-slot
+        request snapshot taken AT DISPATCH — only a slot still holding that
+        same request may be finished by this status (the slot may have been
+        reaped and re-admitted since)."""
+        for i, s in enumerate(pool.slots):
+            if (
+                s.active
+                and status[i] < 0
+                and s.request is not None
+                and s.request is reqs[i]
+            ):
+                self._finish(pool, i, rows[i], -int(status[i]) - 1)
 
-    def _finish(self, slot_idx: int, row: np.ndarray, n_tokens: int) -> None:
-        st = self.slots[slot_idx]
+    def _finish(
+        self, pool: _CachePool, slot_idx: int, row: np.ndarray, n_tokens: int
+    ) -> None:
+        st = pool.slots[slot_idx]
         req = st.request
         out = []
         for t in row[:n_tokens]:

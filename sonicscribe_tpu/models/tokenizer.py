@@ -114,6 +114,9 @@ class Prompt:
         return len(self.prefix_ids) + len(self.suffix_ids)
 
 
+_PROMPT_CACHE: dict = {}
+
+
 def build_prompt(
     tokenizer,
     cfg: GlmAsrConfig,
@@ -123,11 +126,28 @@ def build_prompt(
     """Assemble the chat-templated prompt around the audio slot:
 
         <bos><user><audio_start> [audio embeds] <audio_end> instruction <assistant>
+
+    Cached: the continuous batcher builds a prompt PER ADMIT (50+/s under
+    load) and tokenization was a measured chunk of admit host time.
     """
-    instruction = instruction + format_hotwords_prompt(hotwords)
+    key = (
+        id(tokenizer),
+        cfg.bos_id, cfg.user_id, cfg.audio_start_id, cfg.audio_end_id,
+        cfg.assistant_id,
+        instruction,
+        tuple(hotwords) if hotwords else None,
+    )
+    hit = _PROMPT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    full = instruction + format_hotwords_prompt(hotwords)
     prefix = [cfg.bos_id, cfg.user_id, cfg.audio_start_id]
-    suffix = [cfg.audio_end_id] + tokenizer.encode(instruction) + [cfg.assistant_id]
-    return Prompt(
+    suffix = [cfg.audio_end_id] + tokenizer.encode(full) + [cfg.assistant_id]
+    prompt = Prompt(
         prefix_ids=np.asarray(prefix, np.int32),
         suffix_ids=np.asarray(suffix, np.int32),
     )
+    if len(_PROMPT_CACHE) > 4096:  # bound growth under adversarial hotwords
+        _PROMPT_CACHE.clear()
+    _PROMPT_CACHE[key] = prompt
+    return prompt

@@ -147,10 +147,20 @@ async def vad_config(request: web.Request) -> web.Response:
             )
         cfg.vad_smoothing_window = w
         updated["smoothing_window"] = w
-    # apply to live sessions explicitly (scoped, unlike the reference global)
+    # apply to live sessions explicitly (scoped, unlike the reference's
+    # global-mutation at main.py:658 — but with the same observable effect:
+    # a threshold POST changes behavior of ALREADY-open streams)
     for session in request.app["sessions"].values():
         if "smoothing_window" in updated:
             session.gate.cfg.smoothing_window = updated["smoothing_window"]
+        if "threshold" in updated:
+            t = updated["threshold"]
+            session.gate.cfg.base_threshold = t
+            if session.gate.is_speaking:
+                # mid-speech: never lower the dynamic threshold below base
+                session.gate.threshold = max(session.gate.threshold, t)
+            else:
+                session.gate.threshold = t
     return web.json_response({"status": "updated", "config": updated})
 
 
@@ -188,7 +198,10 @@ async def transcribe_file(request: web.Request) -> web.StreamResponse:
         raise web.HTTPBadRequest(text=json.dumps({"error": "missing 'file' field"}))
 
     try:
-        file_cfg = FileTranscriptionConfig.from_dict(json.loads(config_str or "{}"))
+        file_cfg = FileTranscriptionConfig.from_dict(
+            json.loads(config_str or "{}"),
+            default_threshold=app["config"].vad_speech_threshold,
+        )
     except (json.JSONDecodeError, ValueError, TypeError) as e:
         raise web.HTTPBadRequest(
             text=json.dumps({"error": f"bad config_str: {e}"})

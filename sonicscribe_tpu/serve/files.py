@@ -40,8 +40,15 @@ class FileTranscriptionConfig:
     concurrency: int = 3
 
     @classmethod
-    def from_dict(cls, d: dict) -> "FileTranscriptionConfig":
+    def from_dict(
+        cls, d: dict, default_threshold: float | None = None
+    ) -> "FileTranscriptionConfig":
+        """default_threshold: the server's configured VAD threshold — the
+        file path honors it unless the request overrides (reference reads
+        the runtime-mutable AppConfig.VAD_SPEECH_THRESHOLD, main.py:312)."""
         cfg = cls()
+        if default_threshold is not None:
+            cfg.vad_threshold = float(default_threshold)
         if "vad_enabled" in d:
             cfg.vad_enabled = bool(d["vad_enabled"])
         if "hotwords" in d and isinstance(d["hotwords"], list):

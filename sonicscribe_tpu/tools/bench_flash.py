@@ -21,24 +21,26 @@ import numpy as np
 
 
 def bench_decode(engine, k: int, occupancy: int, iters: int = 8) -> float:
-    """Seconds per decode step (amortized over k-step programs)."""
+    """Seconds per decode step (amortized over k-step programs), on the
+    engine's LONG pool."""
+    pool = engine.long
     # occupy every slot at `occupancy` cache positions, never finishing
-    rows = int(engine.cache_len.shape[0])
-    engine.cache_len = jnp.full((rows,), occupancy, jnp.int32)
-    engine.done = jnp.zeros((rows,), bool)
-    engine.budgets = jnp.full((rows,), 10**9, jnp.int32)
-    engine.last_tok = jnp.full((rows,), 7, jnp.int32)
-    engine.n_emitted = jnp.zeros((rows,), jnp.int32)
+    rows = int(pool.cache_len.shape[0])
+    pool.cache_len = jnp.full((rows,), occupancy, jnp.int32)
+    pool.done = jnp.zeros((rows,), bool)
+    pool.budgets = jnp.full((rows,), 10**9, jnp.int32)
+    pool.last_tok = jnp.full((rows,), 7, jnp.int32)
+    pool.n_emitted = jnp.zeros((rows,), jnp.int32)
 
-    engine._dispatch_decode(k)  # compile
-    np.asarray(engine.cache_len)  # drain the remote queue (transfers sync)
+    engine._dispatch_decode(pool, k)  # compile
+    np.asarray(pool.cache_len)  # drain the remote queue (transfers sync)
 
-    engine.cache_len = jnp.full((rows,), occupancy, jnp.int32)
+    pool.cache_len = jnp.full((rows,), occupancy, jnp.int32)
     t0 = time.perf_counter()
     for _ in range(iters):
-        engine._dispatch_decode(k)
-        engine.cache_len = jnp.full((rows,), occupancy, jnp.int32)
-    np.asarray(engine.cache_len)  # real transfer = real sync on axon
+        engine._dispatch_decode(pool, k)
+        pool.cache_len = jnp.full((rows,), occupancy, jnp.int32)
+    np.asarray(pool.cache_len)  # real transfer = real sync on axon
     dt = time.perf_counter() - t0
     return dt / (iters * k)
 

@@ -130,3 +130,32 @@ class TestBatcherParity:
         p_speech, p_quiet = _run(go())
         assert p_speech > 0.7
         assert p_quiet < 0.4
+
+
+class TestSlotReuse:
+    def test_sequential_waves_no_stale_reap(self, stack):
+        """Slot reuse across back-to-back request waves: a slot freed and
+        re-admitted one tick later must NOT be finished by the previous
+        request's parked (pipelined) status row — regression for a race where
+        wave-2 requests resolved instantly with wave-1's tokens."""
+        cfg, tr = stack
+        wave_a = [_audio(0.3, f=200 + 40 * i, seed=10 + i) for i in range(4)]
+        wave_b = [_audio(0.45, f=500 + 35 * i, seed=20 + i) for i in range(4)]
+        golden_b = [tr.transcribe(a, SR, max_new_tokens=8).tokens for a in wave_b]
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32)
+            try:
+                await asyncio.gather(
+                    *[eng.transcribe(a, SR, max_new_tokens=8) for a in wave_a]
+                )
+                rb = await asyncio.gather(
+                    *[eng.transcribe(a, SR, max_new_tokens=8) for a in wave_b]
+                )
+                return [r.tokens for r in rb]
+            finally:
+                eng.shutdown()
+
+        got_b = _run(go())
+        for i, (g, w) in enumerate(zip(got_b, golden_b)):
+            np.testing.assert_array_equal(g, w, err_msg=f"wave-2 request {i}")

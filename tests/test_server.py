@@ -215,3 +215,29 @@ async def test_long_segment_cutting_via_config(app, aiohttp_client):
     # sub-parts share original_index and carry distinct sub indices
     assert {s["original_index"] for s in segs} == {0}
     assert sorted(s["sub_segment_index"] for s in segs) == [0, 1, 2]
+
+
+async def test_vad_threshold_reaches_live_sessions(app, aiohttp_client):
+    """POST /vad/config threshold must change ALREADY-OPEN sessions'
+    effective gate threshold (reference semantics: the mutated global is read
+    by every path, main.py:658 + :312) — get_state on an open WS shows it."""
+    client = await aiohttp_client(app)
+    ws = await client.ws_connect("/ws/audio")
+    msg = json.loads((await ws.receive()).data)
+    assert msg["type"] == "connection_established"
+
+    r = await client.post("/vad/config", json={"threshold": 0.85})
+    assert r.status == 200
+
+    await ws.send_str(json.dumps({"type": "get_state"}))
+    for _ in range(10):
+        msg = json.loads((await ws.receive()).data)
+        if msg["type"] == "connection_state":
+            break
+    assert msg["type"] == "connection_state"
+    assert abs(msg["vad_threshold"] - 0.85) < 1e-6
+
+    await ws.send_str(json.dumps({"type": "close"}))
+    await ws.close()
+    # restore for other tests sharing the module-scoped runtime
+    await client.post("/vad/config", json={"threshold": 0.6})

@@ -4,7 +4,7 @@ Replaces the Whisper-style feature extractor hidden inside the reference's HF
 processor (reference: backend/asr.py:66,393 — `processor.feature_extractor`
 with a `sampling_rate` attribute). Numerics match
 ``transformers.WhisperFeatureExtractor`` within 1e-3 (tested in
-tests/test_mel.py): periodic Hann window, reflect center-padding, matmul-form
+tests/test_audio.py): periodic Hann window, reflect center-padding, matmul-form
 real DFT, Slaney-scale/Slaney-norm mel filter bank, log10 with 8-dB dynamic
 range clamp and (x+4)/4 scaling.
 

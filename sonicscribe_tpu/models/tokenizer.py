@@ -76,7 +76,10 @@ class HFTokenizer:
 
     @property
     def pad_id(self) -> int:
-        return self._tok.pad_token_id or 0
+        pad = self._tok.pad_token_id
+        # explicit None check: `or 0` treats a legitimate pad id of 0
+        # correctly only by accident and silently remaps None
+        return 0 if pad is None else int(pad)
 
 
 def format_hotwords_prompt(hotwords: list[str] | None, max_hotwords: int = 10) -> str:

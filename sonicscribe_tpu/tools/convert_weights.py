@@ -299,7 +299,28 @@ def convert_hf_checkpoint(
 
         params = quantize_params_int8(params)
     save_checkpoint(params, cfg, dst)
-    progress(f"converted {len(flat)} tensors -> {dst}")
+
+    # carry the HF tokenizer along so load_checkpoint serves HFTokenizer
+    # (reference's processor/tokenizer live in the same checkpoint dir)
+    import shutil
+
+    tok_files = [
+        f for f in (
+            "tokenizer.json", "tokenizer_config.json",
+            "special_tokens_map.json", "vocab.json", "merges.txt",
+            "tokenizer.model",
+        )
+        if os.path.exists(os.path.join(src, f))
+    ]
+    if tok_files:
+        tok_dst = os.path.join(dst, "tokenizer")
+        os.makedirs(tok_dst, exist_ok=True)
+        for f in tok_files:
+            shutil.copy2(os.path.join(src, f), os.path.join(tok_dst, f))
+    progress(
+        f"converted {len(flat)} tensors -> {dst}"
+        + (f" (+ tokenizer: {len(tok_files)} files)" if tok_files else "")
+    )
 
 
 def main(argv=None):

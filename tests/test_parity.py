@@ -104,12 +104,45 @@ class TestCrossFrameworkParity:
             f"JAX {jax_list} != torch {torch_tokens}"
         )
 
-    def test_hotword_prompt_changes_both_sides_identically(self, setup):
+    def test_hotword_prompt_token_exact_both_sides(self, setup):
+        """Hotword-bearing prompts (long suffix at the traced offset) must be
+        token-exact JAX-vs-torch, same as the plain prompt — covers suffix
+        placement via dynamic_update_slice with a long suffix."""
         cfg, params_jax, params_np = setup
         tok = ByteTokenizer(cfg)
         mel = _mel(0.4, seed=5)
-        prompt = build_prompt(tok, cfg, hotwords=["jax", "tpu"])
+        T = mel.shape[0]
+        N = 8
+        hotwords = ["jax", "tpu", "systolic array", "mel spectrogram"]
+        prompt = build_prompt(tok, cfg, hotwords=hotwords)
+        assert len(prompt.suffix_ids) > 80  # genuinely long suffix
         torch_tokens = transcribe_torch(
-            params_np, cfg, mel, prompt.prefix_ids, prompt.suffix_ids, 8
+            params_np, cfg, mel, prompt.prefix_ids, prompt.suffix_ids, N
         )
-        assert isinstance(torch_tokens, list) and len(torch_tokens) >= 1
+
+        audio_embeds, n_tok = encode_audio(
+            params_jax, cfg, jnp.asarray(mel)[None], jnp.array([T])
+        )
+        k = int(n_tok[0])
+        embeds = jnp.concatenate(
+            [
+                embed_tokens(params_jax, jnp.asarray(prompt.prefix_ids))[None],
+                audio_embeds[:, :k],
+                embed_tokens(params_jax, jnp.asarray(prompt.suffix_ids))[None],
+            ],
+            axis=1,
+        )
+        jax_tokens = np.asarray(
+            greedy_generate(
+                params_jax, cfg, embeds, jnp.array([embeds.shape[1]]), N
+            )
+        )[0]
+        jax_list = []
+        for t in jax_tokens:
+            jax_list.append(int(t))
+            if t == cfg.eos_id:
+                break
+            if t == cfg.pad_id:
+                jax_list.pop()
+                break
+        assert jax_list == torch_tokens, f"JAX {jax_list} != torch {torch_tokens}"

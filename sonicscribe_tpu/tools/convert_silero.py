@@ -24,6 +24,11 @@ from sonicscribe_tpu.vad.model import SileroConfig
 # our param path -> candidate upstream names (first match wins); conv weights
 # are [out, in, k] in torch -> [k, in, out] here; dense are [out, in] -> [in, out]
 SILERO_NAME_CANDIDATES: dict[str, list[str]] = {
+    "stft.basis": [
+        "_model.stft.forward_basis_buffer",
+        "stft.forward_basis_buffer",
+        "stft.basis",
+    ],
     "convs.0.w": ["encoder.0.reparam_conv.weight", "encoder.0.weight", "first_layer.weight"],
     "convs.0.b": ["encoder.0.reparam_conv.bias", "encoder.0.bias", "first_layer.bias"],
     "convs.1.w": ["encoder.1.reparam_conv.weight", "encoder.1.weight"],
@@ -79,11 +84,17 @@ def convert_state_dict(sd: dict[str, np.ndarray], cfg: SileroConfig | None = Non
     out_w = fetch("out.w")
     if out_w.ndim == 3:  # conv1d head [1, h, 1]
         out_w = out_w[:, :, 0]
-    return {
+    params = {
         "convs": convs,
         "lstm": {"wi": wi, "wh": wh, "b": b},
         "out": {"w": out_w.T, "b": fetch("out.b")},
     }
+    basis = fetch("stft.basis", optional=True)
+    if basis is not None:
+        if basis.ndim == 3:  # upstream conv buffer [2*bins, 1, n_fft]
+            basis = basis[:, 0, :]
+        params["stft"] = {"basis": basis}
+    return params
 
 
 def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
@@ -114,6 +125,8 @@ def main(argv=None):
         params["lstm"]["wi"], params["lstm"]["wh"], params["lstm"]["b"]
     )
     flat["out.w"], flat["out.b"] = params["out"]["w"], params["out"]["b"]
+    if "stft" in params:
+        flat["stft.basis"] = params["stft"]["basis"]
     np.savez(args.dst, **flat)
     print(f"converted {len(flat)} tensors -> {args.dst}")
 
@@ -122,7 +135,7 @@ def load_npz(path: str):
     """Load a converted silero npz back into the params pytree."""
     with np.load(path) as z:
         n_convs = sum(1 for k in z.files if k.endswith(".w") and k.startswith("convs"))
-        return {
+        params = {
             "convs": [
                 {"w": z[f"convs.{i}.w"], "b": z[f"convs.{i}.b"]}
                 for i in range(n_convs)
@@ -130,6 +143,9 @@ def load_npz(path: str):
             "lstm": {"wi": z["lstm.wi"], "wh": z["lstm.wh"], "b": z["lstm.b"]},
             "out": {"w": z["out.w"], "b": z["out.b"]},
         }
+        if "stft.basis" in z.files:
+            params["stft"] = {"basis": z["stft.basis"]}
+        return params
 
 
 if __name__ == "__main__":

@@ -42,10 +42,22 @@ SAMPLE_RATE = 16000
 
 @dataclass(frozen=True)
 class SileroConfig:
+    """Silero-VAD v5 graph constants (recovered from the public jit/ONNX
+    export's op structure — the reference consumes the same model through
+    `load_silero_vad()`, backend/vad.py:13):
+
+    512-sample window + 64-sample carried context -> reflect pad ->
+    STFT as a conv with a stored forward-basis buffer (129 bins x 4 frames)
+    -> 4 ReLU conv1d blocks ("reparam_conv", strides 1,2,2,1: 4 frames
+    collapse to 1) -> LSTMCell(128) -> [ReLU -> 1x1 conv -> sigmoid] head.
+    """
+
     n_fft: int = 256
     hop: int = 128
     context: int = 64  # samples of left context carried between windows
+    pad: int = 64  # reflect padding applied around the 576-sample input
     conv_channels: Tuple[int, ...] = (128, 64, 64, 128)
+    conv_strides: Tuple[int, ...] = (1, 2, 2, 1)
     kernel: int = 3
     lstm_hidden: int = 128
 
@@ -55,9 +67,15 @@ class SileroConfig:
 
 
 class SileroVad:
-    """Silero-VAD-architecture speech-probability net in JAX.
+    """Silero-VAD v5 speech-probability net in JAX.
 
-    State per stream: (lstm_h, lstm_c, audio_context).
+    State per stream: (lstm_h, lstm_c, audio_context). The STFT forward
+    basis is a PARAMETER (upstream stores it as
+    `_model.stft.forward_basis_buffer`), so a converted checkpoint
+    reproduces upstream numerics through the converter
+    (tools/convert_silero.py) — random init uses the analytic hann-windowed
+    DFT basis. Probability parity vs upstream is asserted by the
+    checkpoint-gated test in tests/test_vad.py.
     """
 
     window_samples = WINDOW_SAMPLES
@@ -67,6 +85,17 @@ class SileroVad:
         if params is None:
             params = self.init_params(key or jax.random.PRNGKey(0))
         self.params = params
+
+    def _dft_basis(self) -> np.ndarray:
+        """Analytic hann-windowed real-DFT basis [2*bins, n_fft]."""
+        cfg = self.cfg
+        n = np.arange(cfg.n_fft)
+        k = np.arange(cfg.n_bins)[:, None]
+        ang = 2.0 * np.pi * k * n[None, :] / cfg.n_fft
+        win = 0.5 * (1 - np.cos(2 * np.pi * n / cfg.n_fft))
+        return np.concatenate(
+            [np.cos(ang) * win[None], -np.sin(ang) * win[None]], 0
+        ).astype(np.float32)
 
     def init_params(self, key):
         cfg = self.cfg
@@ -87,6 +116,7 @@ class SileroVad:
             c_in = c_out
         h = cfg.lstm_hidden
         return {
+            "stft": {"basis": jnp.asarray(self._dft_basis())},
             "convs": convs,
             "lstm": {
                 "wi": dense(next(keys), (c_in, 4 * h)),
@@ -111,31 +141,33 @@ class SileroVad:
         x = jnp.concatenate([state["ctx"], windows], axis=1)  # [B, 576]
         new_ctx = windows[:, -cfg.context :]
 
-        # STFT magnitude via matmul-form DFT (MXU): frames [B, F, n_fft]
+        # reflect pad then STFT magnitude via the (stored) conv basis:
+        # [B, 576] -> [B, 704] -> 4 frames of n_fft at stride hop
+        x = jnp.pad(x, ((0, 0), (cfg.pad, cfg.pad)), mode="reflect")
         n_frames = (x.shape[1] - cfg.n_fft) // cfg.hop + 1
         idx = np.arange(n_frames)[:, None] * cfg.hop + np.arange(cfg.n_fft)[None, :]
         frames = x[:, idx]  # [B, F, n_fft]
-        n = np.arange(cfg.n_fft)
-        k = np.arange(cfg.n_bins)[:, None]
-        ang = 2.0 * np.pi * k * n[None, :] / cfg.n_fft
-        basis = jnp.asarray(
-            np.concatenate([np.cos(ang), -np.sin(ang)], 0), jnp.float32
-        )  # [2*bins, n_fft]
-        spec = jnp.einsum("bfn,cn->bfc", frames, basis, preferred_element_type=jnp.float32)
+        basis = params.get("stft", {}).get("basis")
+        if basis is None:  # pre-v5-layout converted params
+            basis = jnp.asarray(self._dft_basis())
+        spec = jnp.einsum(
+            "bfn,cn->bfc", frames, basis, preferred_element_type=jnp.float32
+        )
         real, imag = spec[..., : cfg.n_bins], spec[..., cfg.n_bins :]
         mag = jnp.sqrt(real**2 + imag**2 + 1e-12)  # [B, F, bins]
 
         h = mag
-        for conv in params["convs"]:
+        for conv, stride in zip(params["convs"], cfg.conv_strides):
             h = jax.lax.conv_general_dilated(
                 h,
                 conv["w"],
-                window_strides=(1,),
+                window_strides=(stride,),
                 padding="SAME",
                 dimension_numbers=("NHC", "HIO", "NHC"),
             )
             h = jax.nn.relu(h + conv["b"])
-        feat = jnp.mean(h, axis=1)  # pool over frames -> [B, C]
+        # strides (1,2,2,1) collapse the 4 STFT frames to one
+        feat = jnp.mean(h, axis=1)  # [B, C] (exact squeeze when T==1)
 
         # LSTM cell
         lp = params["lstm"]
@@ -144,7 +176,11 @@ class SileroVad:
         c = jax.nn.sigmoid(f) * state["c"] + jax.nn.sigmoid(i) * jnp.tanh(g)
         hh = jax.nn.sigmoid(o) * jnp.tanh(c)
 
-        prob = jax.nn.sigmoid(hh @ params["out"]["w"] + params["out"]["b"])[:, 0]
+        # decoder head: Dropout(identity at inference) -> ReLU -> 1x1 conv
+        # -> sigmoid (upstream decoder.decoder indices 0..3)
+        prob = jax.nn.sigmoid(
+            jax.nn.relu(hh) @ params["out"]["w"] + params["out"]["b"]
+        )[:, 0]
         return prob, {"h": hh, "c": c, "ctx": new_ctx}
 
 

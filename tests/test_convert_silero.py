@@ -27,6 +27,10 @@ def _synthetic_sd(cfg: SileroConfig):
     sd["decoder.rnn.bias_hh"] = np.ones(4 * h, np.float32) * 0.1
     sd["decoder.decoder.2.weight"] = rng.standard_normal((1, h, 1)).astype(np.float32) * 0.1
     sd["decoder.decoder.2.bias"] = np.zeros(1, np.float32)
+    # v5 stores the STFT forward basis as a conv buffer [2*bins, 1, n_fft]
+    sd["_model.stft.forward_basis_buffer"] = rng.standard_normal(
+        (2 * cfg.n_bins, 1, cfg.n_fft)
+    ).astype(np.float32) * 0.05
     return sd
 
 
@@ -42,6 +46,8 @@ def test_convert_and_run():
     assert np.all((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1))
     # bias_hh summed into the single bias
     np.testing.assert_allclose(np.asarray(params["lstm"]["b"])[:4], 0.1, atol=1e-6)
+    # the STFT conv basis came from the checkpoint, reshaped to [2*bins, n_fft]
+    assert params["stft"]["basis"].shape == (2 * cfg.n_bins, cfg.n_fft)
 
 
 def test_missing_key_error_lists_candidates():

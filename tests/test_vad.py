@@ -161,3 +161,41 @@ class TestVadGate:
         g = VadGate()
         ev = g.update(0.99, first_chunk_id=42, last_chunk_id=51)
         assert ev.speech_start_chunk == 42
+
+
+class TestSileroUpstreamParity:
+    """Probability parity vs the real upstream checkpoint. The environment
+    has zero egress, so this runs only when a checkpoint is provided via
+    SILERO_CHECKPOINT=<path to silero_vad.jit / .onnx state>; it is the
+    gate that validates the v5 graph reimplementation end-to-end."""
+
+    def test_probability_parity(self):
+        import os
+
+        path = os.environ.get("SILERO_CHECKPOINT", "")
+        if not path or not os.path.exists(path):
+            pytest.skip("set SILERO_CHECKPOINT=<silero_vad.jit> to run")
+        import torch
+
+        from sonicscribe_tpu.tools.convert_silero import (
+            convert_state_dict,
+            load_torch_checkpoint,
+        )
+
+        params = convert_state_dict(load_torch_checkpoint(path))
+        ours = SileroVad(params=params)
+        upstream = torch.jit.load(path, map_location="cpu")
+        upstream.eval()
+
+        audio = np.concatenate(
+            [_silence(0.5), _speech_like(1.0, seed=3), _silence(0.5)]
+        )
+        got = window_probs(ours, audio)
+        upstream.reset_states() if hasattr(upstream, "reset_states") else None
+        want = []
+        for i in range(len(got)):
+            w = audio[i * WINDOW_SAMPLES : (i + 1) * WINDOW_SAMPLES]
+            if len(w) < WINDOW_SAMPLES:
+                w = np.pad(w, (0, WINDOW_SAMPLES - len(w)))
+            want.append(float(upstream(torch.from_numpy(w)[None], 16000)))
+        np.testing.assert_allclose(got, want, atol=5e-3)

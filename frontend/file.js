@@ -8,9 +8,18 @@
  * sub_segment_index, completion summary cards. Fixes the reference gap where
  * the UI never sent config_str (FileAnalyzer.js:803-806 vs main.py:200):
  * here VAD enablement and hotwords are actually transmitted.
+ *
+ * Reference-parity capabilities (FileAnalyzer.js:683-766, 816-835):
+ * - WAV files over 10 MB are compressed client-side before upload
+ *   (OfflineAudioContext decode -> 16 kHz mono -> 16-bit WAV re-encode);
+ * - upload is an XHR so the progress bar covers the upload phase (0-50%)
+ *   and then streaming transcription progress (50-100%) — fetch() cannot
+ *   report upload progress.
  */
 
 const MAX_BYTES = 100 * 1024 * 1024;
+const COMPRESS_THRESHOLD = 10 * 1024 * 1024;
+const TARGET_SR = 16000;
 
 export class FileAnalyzer {
   constructor() {
@@ -65,6 +74,60 @@ export class FileAnalyzer {
     this.el.btn.disabled = false;
   }
 
+  /**
+   * Client-side compression for big WAVs (reference FileAnalyzer.js:683-766):
+   * decode with OfflineAudioContext, mix to mono at 16 kHz, re-encode as
+   * 16-bit PCM WAV. Non-WAV or small files pass through untouched; any
+   * decode failure falls back to the original file.
+   */
+  async compressIfLarge(file) {
+    const isWav =
+      /\.wav$/i.test(file.name) || file.type === "audio/wav" ||
+      file.type === "audio/x-wav";
+    if (!isWav || file.size <= COMPRESS_THRESHOLD) return file;
+    this.status("compressing audio before upload…");
+    try {
+      const raw = await file.arrayBuffer();
+      const probe = new OfflineAudioContext(1, 1, TARGET_SR);
+      const decoded = await probe.decodeAudioData(raw.slice(0));
+      const frames = Math.ceil(decoded.duration * TARGET_SR);
+      const ctx = new OfflineAudioContext(1, frames, TARGET_SR);
+      const src = ctx.createBufferSource();
+      src.buffer = decoded; // mono downmix + resample happen in the render
+      src.connect(ctx.destination);
+      src.start(0);
+      const rendered = await ctx.startRendering();
+      const wav = this.encodeWav(rendered.getChannelData(0), TARGET_SR);
+      const name = file.name.replace(/\.wav$/i, "") + ".16k.wav";
+      this.status(
+        `compressed ${(file.size / 1e6).toFixed(1)} MB -> ` +
+        `${(wav.size / 1e6).toFixed(1)} MB`
+      );
+      return new File([wav], name, { type: "audio/wav" });
+    } catch (e) {
+      this.status(`compression skipped (${e.message})`);
+      return file;
+    }
+  }
+
+  /** Float32 [-1,1] -> 16-bit PCM mono WAV blob. */
+  encodeWav(samples, sr) {
+    const buf = new ArrayBuffer(44 + samples.length * 2);
+    const v = new DataView(buf);
+    const str = (o, s) => { for (let i = 0; i < s.length; i++) v.setUint8(o + i, s.charCodeAt(i)); };
+    str(0, "RIFF"); v.setUint32(4, 36 + samples.length * 2, true);
+    str(8, "WAVE"); str(12, "fmt ");
+    v.setUint32(16, 16, true); v.setUint16(20, 1, true); v.setUint16(22, 1, true);
+    v.setUint32(24, sr, true); v.setUint32(28, sr * 2, true);
+    v.setUint16(32, 2, true); v.setUint16(34, 16, true);
+    str(36, "data"); v.setUint32(40, samples.length * 2, true);
+    for (let i = 0; i < samples.length; i++) {
+      const s = Math.max(-1, Math.min(1, samples[i]));
+      v.setInt16(44 + i * 2, s < 0 ? s * 0x8000 : s * 0x7fff, true);
+    }
+    return new Blob([buf], { type: "audio/wav" });
+  }
+
   async transcribe() {
     if (!this.file) return;
     this.el.btn.disabled = true;
@@ -72,11 +135,13 @@ export class FileAnalyzer {
     this.el.cards.textContent = "";
     this.segmentsMap.clear();
     this.el.progressWrap.style.display = "block";
-    this.el.progress.style.width = "2%";
+    this.el.progress.style.width = "0%";
+
+    const upload = await this.compressIfLarge(this.file);
     this.status("uploading…");
 
     const form = new FormData();
-    form.append("file", this.file, this.file.name);
+    form.append("file", upload, upload.name || this.file.name);
     form.append(
       "config_str",
       JSON.stringify({
@@ -86,37 +151,51 @@ export class FileAnalyzer {
       })
     );
 
-    let resp;
-    try {
-      resp = await fetch("/transcribe/file?stream=true", {
-        method: "POST",
-        body: form,
-      });
-    } catch (e) {
-      this.status(`upload failed: ${e.message}`, "errline");
-      this.el.btn.disabled = false;
-      return;
-    }
-    if (!resp.ok) {
-      const body = await resp.text();
-      this.status(`server error ${resp.status}: ${body.slice(0, 200)}`, "errline");
-      this.el.btn.disabled = false;
-      return;
-    }
-
-    const reader = resp.body.getReader();
-    const decoder = new TextDecoder();
-    let partial = "";
-    for (;;) {
-      const { value, done } = await reader.read();
-      if (done) break;
-      partial += decoder.decode(value, { stream: true });
-      const lines = partial.split("\n");
-      partial = lines.pop(); // keep incomplete tail for reassembly
-      for (const line of lines) {
-        if (line.trim()) this.onMessage(JSON.parse(line));
-      }
-    }
+    // XHR: fetch() cannot report upload progress. The bar covers the upload
+    // phase (0-50%) then transcription progress (50-100%), and the NDJSON
+    // response is parsed incrementally from responseText.
+    await new Promise((resolve) => {
+      const xhr = new XMLHttpRequest();
+      xhr.open("POST", "/transcribe/file?stream=true");
+      xhr.timeout = 5 * 60 * 1000;
+      let seen = 0;
+      let partial = "";
+      const drain = (final) => {
+        const text = xhr.responseText || "";
+        partial += text.slice(seen);
+        seen = text.length;
+        const lines = partial.split("\n");
+        partial = final ? "" : lines.pop();
+        for (const line of lines) {
+          if (!line.trim()) continue;
+          try { this.onMessage(JSON.parse(line)); } catch (_e) { /* partial */ }
+        }
+      };
+      xhr.upload.onprogress = (e) => {
+        if (e.lengthComputable) {
+          this.el.progress.style.width = `${Math.round((e.loaded / e.total) * 50)}%`;
+        }
+      };
+      xhr.upload.onload = () => {
+        this.el.progress.style.width = "50%";
+        this.status("transcribing…");
+      };
+      xhr.onprogress = () => drain(false);
+      xhr.onload = () => {
+        if (xhr.status !== 200) {
+          this.status(
+            `server error ${xhr.status}: ${(xhr.responseText || "").slice(0, 200)}`,
+            "errline"
+          );
+        } else {
+          drain(true);
+        }
+        resolve();
+      };
+      xhr.onerror = () => { this.status("upload failed", "errline"); resolve(); };
+      xhr.ontimeout = () => { this.status("request timed out", "errline"); resolve(); };
+      xhr.send(form);
+    });
     this.el.btn.disabled = false;
   }
 
@@ -131,7 +210,8 @@ export class FileAnalyzer {
         break;
       case "segment_result":
         this.renderSegment(msg);
-        this.el.progress.style.width = `${Math.round(msg.progress * 100)}%`;
+        // 0-50% is the upload phase; transcription covers 50-100%
+        this.el.progress.style.width = `${Math.round(50 + msg.progress * 50)}%`;
         break;
       case "segment_error": {
         const el = document.createElement("div");

@@ -587,7 +587,9 @@ def main(argv=None):
                 config.file_max_new_tokens,
             )
         )
-        logger.info("warmup done in %.1fs", _time.perf_counter() - t0)
+        warmup_s = _time.perf_counter() - t0
+        info["warmup_s"] = round(warmup_s, 1)  # surfaced via /health
+        logger.info("warmup done in %.1fs", warmup_s)
     logger.info("runtime ready: %s", info)
     app = build_app(config, engine, vad, info)
 

@@ -54,9 +54,11 @@ def main():
     tr = Transcriber(
         cfg, params, tokenizer, prefill_buckets=(interim_bucket, file_bucket)
     )
-    # suppress EOS so greedy always decodes the full budget (worst case)
+    # suppress EOS (and pad, which truncates host-side) so greedy always
+    # decodes the full budget — the worst case, asserted below
     no_eos = np.zeros((cfg.decoder.vocab_size,), np.float32)
     no_eos[cfg.eos_id] = -1e9
+    no_eos[cfg.pad_id] = -1e9
     tr._zero_bias = jnp.asarray(no_eos)
 
     sr = 16000
@@ -108,7 +110,8 @@ def main():
     # slots match the segment count: decode-step cost scales with total cache
     # rows read, so oversizing the slot pool directly taxes file RTF
     engine = BatchedEngine(tr_b, EnergyVad(), slots=n_seg,
-                           max_decode_tokens=file_budget)
+                           max_decode_tokens=file_budget,
+                           base_logit_bias=no_eos)
     engine.warmup()
     segments = [
         (0.1 * rng.standard_normal(int(sr * seg_seconds))).astype(np.float32)
@@ -154,7 +157,7 @@ def main():
             # persistent compile cache amortizes the extra program set
             s_engine = BatchedEngine(
                 tr_s, EnergyVad(), slots=4 if quick else 32,
-                max_decode_tokens=200,
+                max_decode_tokens=200, base_logit_bias=no_eos,
             )
             t_w = time.perf_counter()
             s_engine.warmup()

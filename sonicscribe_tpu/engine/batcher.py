@@ -377,6 +377,10 @@ class _TranscribeReq:
     hotwords: Optional[list[str]]
     future: asyncio.Future
     t_enqueue: float
+    # resolved-pool hint: set when prep discovers the true mel bucket routes
+    # differently than the pre-resample size estimate (prevents a re-route
+    # bounce loop between the estimate and the real bucket)
+    pool_hint: Any = None
 
 
 @dataclass
@@ -419,6 +423,7 @@ class BatchedEngine:
         cache_len: Optional[int] = None,
         mesh=None,
         flash_decode: str = "auto",
+        base_logit_bias=None,
     ):
         """flash_decode: "auto" | "on" | "off" — route decode attention
         through the Pallas flash-decode kernel (ops/decode_attention.py),
@@ -476,9 +481,12 @@ class BatchedEngine:
         if dtype == jnp.int8:  # quantized params: cache stays bf16
             dtype = jnp.bfloat16
         self.use_flash = flash_decode == "on"
-        if self.use_flash:
-            # the flash kernel iterates 128-position KV blocks
-            long_max_len = ((long_max_len + 127) // 128) * 128
+        # base additive logit bias applied to EVERY slot (benches suppress
+        # EOS/pad with it; production could damp special tokens)
+        self._base_bias = (
+            None if base_logit_bias is None
+            else jnp.asarray(base_logit_bias, jnp.float32)
+        )
 
         def make_pool(
             name: str, n_slots: int, max_len: int, out_width: int
@@ -507,8 +515,11 @@ class BatchedEngine:
                 done=_shard(jnp.ones((rows,), bool)),
                 # host-side dirty tracking: a hotword bias row is ~240 KB;
                 # uploading one per admit saturates tunnel h2d bandwidth, so
-                # zero rows are zeroed on device and only hotword rows upload
-                bias=_shard(jnp.zeros((rows, dec.vocab_size), jnp.float32)),
+                # clean rows are reset on device and only hotword rows upload
+                bias=_shard(
+                    jnp.zeros((rows, dec.vocab_size), jnp.float32)
+                    + (0.0 if self._base_bias is None else self._base_bias[None])
+                ),
                 budgets=_shard(jnp.zeros((rows,), jnp.int32)),
                 bias_dirty=[False] * rows,
                 slots=[_SlotState() for _ in range(n_slots)],
@@ -779,12 +790,16 @@ class BatchedEngine:
         dtype = self.long.cache_k.dtype
         smallest = min(tr.buckets)
         for pool in self.pools:
+            pool_choices = tuple(
+                b for b in self.prefill_batch_choices
+                if b <= max(1, len(pool.slots))
+            )
             for bucket in tr.buckets:
                 for sb in self.suffix_buckets:
                     if pool is self.short and self._pool_for(bucket, 1, sb) is not pool:
                         continue  # short pool only hosts its feasible combos
                     choices = (
-                        self.prefill_batch_choices
+                        pool_choices
                         if (full or bucket == smallest)
                         else (1,)
                     )
@@ -831,13 +846,17 @@ class BatchedEngine:
             )
         smallest_cb = min(self.chunk_buckets)
         for pool in self.pools:
+            pool_choices = tuple(
+                b for b in self.prefill_batch_choices
+                if b <= max(1, len(pool.slots))
+            )
             for cb in self.chunk_buckets:
                 fb = cb * 1024 // 160  # frame bucket for this chunk bucket
                 for sb in self.suffix_buckets:
                     if pool is self.short and self._pool_for(fb, 1, sb) is not pool:
                         continue
                     choices = (
-                        self.prefill_batch_choices
+                        pool_choices
                         if (full or cb == smallest_cb)
                         else (1,)
                     )
@@ -859,7 +878,12 @@ class BatchedEngine:
             # fetch) is compiled too — on the remote AOT compiler even
             # trivial first-use programs cost seconds, which would otherwise
             # hit the first session.
-            pool.bias = pool.bias.at[0].set(jnp.zeros_like(pool.bias[0]))
+            base_row = (
+                jnp.zeros_like(pool.bias[0])
+                if self._base_bias is None
+                else self._base_bias
+            )
+            pool.bias = pool.bias.at[0].set(base_row)
             pool.budgets = pool.budgets.at[0].set(3)
             self._dispatch_ring_prefill(
                 pool,
@@ -1090,14 +1114,32 @@ class BatchedEngine:
             self._fail_pending(RuntimeError("batcher stopped"))
 
     def _fail_pending(self, exc: Exception) -> None:
+        """Fail everything the stopped scheduler can no longer serve: parked
+        VAD futures, in-flight decode requests (theirs are parked too),
+        active slots, and the backlogs — otherwise awaiting callers hang on
+        a clean stop."""
+
+        def fail(fut: asyncio.Future) -> None:
+            if fut is not None and not fut.done():
+                try:
+                    fut.get_loop().call_soon_threadsafe(fut.set_exception, exc)
+                except RuntimeError:
+                    pass  # loop already closed; nothing is awaiting
+
         pending, self._pending_results = self._pending_results, None
-        if not pending:
-            return
-        for r in pending.get("ring_vad_batch", ()):
-            if not r.future.done():
-                r.future.get_loop().call_soon_threadsafe(
-                    r.future.set_exception, exc
-                )
+        if pending:
+            for r in pending.get("ring_vad_batch", ()):
+                fail(r.future)
+        for pool in self.pools:
+            for s in pool.slots:
+                if s.active and s.request is not None:
+                    fail(s.request.future)
+                s.active = False
+                s.request = None
+        backlogs = self._ring_backlog + self._host_backlog
+        self._ring_backlog, self._host_backlog = [], []
+        for req in backlogs:
+            fail(req.future)
 
     def _tick(
         self,
@@ -1168,7 +1210,8 @@ class BatchedEngine:
         return any_active
 
     def _any_pool_starved(self) -> bool:
-        """True if a backlogged request targets a pool with zero free slots."""
+        """True if a backlogged request targets a pool with zero free slots
+        (same routing the admit path uses)."""
         for req in self._ring_backlog:
             cb = self._pick_chunk_bucket(req.chunk_count)
             pool = self._pool_for(
@@ -1177,8 +1220,20 @@ class BatchedEngine:
             )
             if pool.free == 0:
                 return True
-        if self._host_backlog and self.long.free == 0:
-            return True
+        tr = self.transcriber
+        from sonicscribe_tpu.audio.mel import frame_count
+
+        for req in self._host_backlog:
+            pool = req.pool_hint
+            if pool is None:
+                est = int(len(req.audio) * 16000 / max(req.sample_rate, 1))
+                bucket = tr._pick_bucket(max(1, frame_count(est, tr.mel_cfg)))
+                pool = self._pool_for(
+                    bucket, req.max_new_tokens,
+                    self._route_suffix_bucket(req.hotwords),
+                )
+            if pool.free == 0:
+                return True
         return False
 
     def _resolve_pending(self) -> None:
@@ -1299,12 +1354,14 @@ class BatchedEngine:
 
             tr = self.transcriber
             for req in sorted(self._host_backlog, key=lambda r: r.max_new_tokens):
-                est = int(len(req.audio) * 16000 / max(req.sample_rate, 1))
-                bucket = tr._pick_bucket(max(1, frame_count(est, tr.mel_cfg)))
-                pool = self._pool_for(
-                    bucket, req.max_new_tokens,
-                    self._route_suffix_bucket(req.hotwords),
-                )
+                pool = req.pool_hint
+                if pool is None:
+                    est = int(len(req.audio) * 16000 / max(req.sample_rate, 1))
+                    bucket = tr._pick_bucket(max(1, frame_count(est, tr.mel_cfg)))
+                    pool = self._pool_for(
+                        bucket, req.max_new_tokens,
+                        self._route_suffix_bucket(req.hotwords),
+                    )
                 if free[id(pool)] > 0:
                     free[id(pool)] -= 1
                     take_h.setdefault(id(pool), []).append(req)
@@ -1407,13 +1464,16 @@ class BatchedEngine:
         pool.budgets = pool.budgets.at[jnp.asarray(slots, jnp.int32)].set(
             jnp.asarray(budgets, jnp.int32)
         )
+        base = (
+            jnp.zeros((self.cfg.decoder.vocab_size,), jnp.float32)
+            if self._base_bias is None
+            else self._base_bias
+        )
         zero_slots = []
         for slot, bias_ids, _ in slot_bias_budget:
             if bias_ids is not None and len(bias_ids):
-                row = (
-                    jnp.zeros((self.cfg.decoder.vocab_size,), jnp.float32)
-                    .at[jnp.asarray(bias_ids, jnp.int32)]
-                    .set(self.transcriber.hotword_bias_strength)
+                row = base.at[jnp.asarray(bias_ids, jnp.int32)].add(
+                    self.transcriber.hotword_bias_strength
                 )
                 pool.bias = pool.bias.at[slot].set(row)
                 pool.bias_dirty[slot] = True
@@ -1421,7 +1481,9 @@ class BatchedEngine:
                 zero_slots.append(slot)
                 pool.bias_dirty[slot] = False
         if zero_slots:
-            pool.bias = pool.bias.at[jnp.asarray(zero_slots, jnp.int32)].set(0.0)
+            pool.bias = pool.bias.at[jnp.asarray(zero_slots, jnp.int32)].set(
+                base[None]
+            )
 
     def _prepare_request(self, req: _TranscribeReq):
         """Host+dispatch prep: -> (bucket, mel [T,nm], frames, suffix,
@@ -1465,9 +1527,12 @@ class BatchedEngine:
             if prep is None:
                 continue
             # the routing estimate used pre-resample length; if the true
-            # bucket no longer fits this pool, bounce to the next tick
+            # bucket routes elsewhere, re-queue WITH the resolved pool so the
+            # next tick admits it there (a bare re-queue would re-estimate
+            # identically and bounce forever)
             real_pool = self._pool_for(prep[0], req.max_new_tokens, prep[7])
             if real_pool is not pool:
+                req.pool_hint = real_pool
                 self._host_backlog.append(req)
                 continue
             by_key.setdefault((prep[0], prep[7]), []).append((req, prep))

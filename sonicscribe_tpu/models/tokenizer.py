@@ -141,8 +141,11 @@ def build_prompt(
         tuple(hotwords) if hotwords else None,
     )
     hit = _PROMPT_CACHE.get(key)
-    if hit is not None:
-        return hit
+    # the cached entry keeps a strong reference to its tokenizer and the hit
+    # is identity-checked: id() alone could alias a NEW tokenizer allocated
+    # at a garbage-collected one's address
+    if hit is not None and hit[0] is tokenizer:
+        return hit[1]
     full = instruction + format_hotwords_prompt(hotwords)
     prefix = [cfg.bos_id, cfg.user_id, cfg.audio_start_id]
     suffix = [cfg.audio_end_id] + tokenizer.encode(full) + [cfg.assistant_id]
@@ -152,5 +155,5 @@ def build_prompt(
     )
     if len(_PROMPT_CACHE) > 4096:  # bound growth under adversarial hotwords
         _PROMPT_CACHE.clear()
-    _PROMPT_CACHE[key] = prompt
+    _PROMPT_CACHE[key] = (tokenizer, prompt)
     return prompt

@@ -6,25 +6,35 @@ blocking model call, backend/transcription_manager.py:58).
 
 Design:
 
-- A fixed pool of S decode SLOTS shares one persistent KV cache
-  [L, S, MAX_LEN, nkv, hd]. All shapes static; slots admit/free without
-  recompilation.
-- PREFILL: one compiled program per mel bucket runs encoder + prompt assembly
-  + prefill and writes the new session's KV into its slot with
-  `dynamic_update_slice` (donated cache, no copies), plus the first greedy
-  token into the slot's DEVICE-SIDE output buffer. No host transfer at admit.
-- DECODE: one compiled program runs K greedy steps for ALL slots at once
-  (lax.scan over decode_step), with per-slot logit bias (hotwords). EOS and
-  budget termination are tracked ON DEVICE; emitted tokens accumulate in a
-  device buffer. The host fetches ONE tiny status vector per tick and a
-  token row once per finished request.
+- TWO CACHE POOLS (`_CachePool`), each a fixed set of decode slots sharing
+  one persistent KV cache [L, rows, max_len, nkv, hd]: the SHORT pool (one
+  slot per realtime stream, cache sized to the interim class) and the LONG
+  pool (finals / file segments). Requests route by prompt-buffer + budget
+  need. The split keeps every program's shapes static AND sized to its
+  class — decode cost scales with rows x max_len, so interims never pay
+  for the file class's 30 s cache, and a synchronized interim burst from
+  all streams admits in ONE wave (the tail collapses to the median).
+- PREFILL: one compiled program per (mel bucket, suffix bucket, batch size,
+  pool) runs encoder + prompt assembly + prefill and writes each row's KV
+  into its slot with `dynamic_update_slice` (donated cache, no copies),
+  plus the first greedy token into the slot's device-side output buffer.
+  Suffix buckets keep prompts from paying 160-token padding (prefill is
+  compute-bound; the default instruction gets a tight bucket).
+- DECODE: per pool, one compiled program runs K greedy steps for ALL its
+  slots (lax.scan over decode_step) with per-slot logit bias (hotwords, on
+  top of an optional base bias). EOS/budget termination and emitted tokens
+  are tracked ON DEVICE.
+- PIPELINED TICKS: each tick dispatches its programs first, then resolves
+  the PREVIOUS tick's parked device results ({VAD probs, per-pool status +
+  token rows} in one combined device_get) — the ~27 ms tunnel RTT overlaps
+  the current tick's device execution (measured: a d2h fetch does not wait
+  for later-dispatched programs). Parked statuses carry per-slot request
+  identities so a stale result can never finish a slot's next occupant.
 - VAD: pending gate windows from all sessions are stacked and evaluated in
   one batched program per tick (SURVEY.md §2.9 "batched gating op").
-
-Host-roundtrip discipline: on this hardware a device->host transfer costs
-~27 ms RTT (remote-tunnel TPU), while dispatch is async and free. The tick
-loop therefore transfers exactly one [S] status vector per K decode steps,
-K adapts up to 64, and token text leaves the device once per request.
+- DATA PARALLEL: pass a ("data","model") Mesh and every per-slot/per-stream
+  array shards over "data" with replicated params — one GSPMD program, the
+  scheduler unchanged (parallel/mesh.py).
 
 Exposes the same async interface as ThreadedEngine (transcribe /
 vad_window_prob), so the serving layer swaps engines with a flag.
@@ -1237,19 +1247,22 @@ class BatchedEngine:
         return False
 
     def _resolve_pending(self) -> None:
-        """Fetch + resolve the parked previous-tick device results (VAD
-        probabilities, per-pool decode status + token rows). One combined
-        transfer."""
+        """Fetch + resolve the parked previous-tick device results. The VAD
+        probabilities and the SHORT pool's results come back in the first
+        transfer and resolve immediately — a combined fetch would make every
+        interim wait for the long pool's (much longer) finals program. Each
+        fetch's RTT overlaps the already-dispatched current tick's device
+        work, so the extra transfer costs host time only."""
         prev, self._pending_results = self._pending_results, None
         if not prev:
             return
-        fetch = {}
+        pools = list(prev.get("pools", ()))
+        first: dict = {}
         if prev.get("ring_vad") is not None:
-            fetch["ring_vad"] = prev["ring_vad"]
-        for i, (_pool, status, tokens, _reqs) in enumerate(prev.get("pools", ())):
-            fetch[f"status{i}"] = status
-            fetch[f"tokens{i}"] = tokens
-        host = jax.device_get(fetch) if fetch else {}
+            first["ring_vad"] = prev["ring_vad"]
+        if pools and pools[0][0] is self.short:
+            first["status"], first["tokens"] = pools[0][1], pools[0][2]
+        host = jax.device_get(first) if first else {}
         if "ring_vad" in host:
             probs_host = host["ring_vad"]
             self.stats["vad_batches"] += 1
@@ -1257,8 +1270,12 @@ class BatchedEngine:
                 r.future.get_loop().call_soon_threadsafe(
                     _resolve_quietly, r.future, float(probs_host[j])
                 )
-        for i, (pool, _status, _tokens, reqs) in enumerate(prev.get("pools", ())):
-            self._reap_decode(pool, host[f"status{i}"], host[f"tokens{i}"], reqs)
+        if "status" in host:
+            self._reap_decode(self.short, host["status"], host["tokens"], pools[0][3])
+            pools = pools[1:]
+        for pool, status, tokens, reqs in pools:
+            host2 = jax.device_get({"status": status, "tokens": tokens})
+            self._reap_decode(pool, host2["status"], host2["tokens"], reqs)
 
     def _scatter_ingest(self) -> None:
         """Pack every pending chunk from every session into one int16 upload

@@ -159,3 +159,43 @@ class TestSlotReuse:
         got_b = _run(go())
         for i, (g, w) in enumerate(zip(got_b, golden_b)):
             np.testing.assert_array_equal(g, w, err_msg=f"wave-2 request {i}")
+
+
+class TestBaseLogitBias:
+    def test_base_bias_applies_and_hotwords_stack(self, stack):
+        """base_logit_bias reaches every slot's decode; hotword boosts stack
+        on top of it (and clean-slot resets restore the base, not zero)."""
+        import jax.numpy as jnp
+
+        cfg, tr = stack
+        audio = _audio(0.4, seed=9)
+        qid = tr.tokenizer.encode("q")[0]
+        base = np.zeros((cfg.decoder.vocab_size,), np.float32)
+        base[qid] = 1e9  # the base bias forces token 'q' everywhere
+        strong = Transcriber(
+            tr.cfg, tr.params, tr.tokenizer,
+            prefill_buckets=(64, 128), hotword_bias_strength=1e12,
+        )
+        zid = tr.tokenizer.encode("z")[0]
+
+        async def go():
+            eng = BatchedEngine(
+                strong, EnergyVad(), slots=2, max_decode_tokens=16,
+                base_logit_bias=base,
+            )
+            try:
+                r_hot = await eng.transcribe(
+                    audio, SR, max_new_tokens=4, hotwords=["z"]
+                )
+                r_plain = await eng.transcribe(audio, SR, max_new_tokens=4)
+                # second plain request reuses a slot whose bias row was
+                # hotword-dirty: it must reset to the BASE bias, not zero
+                r_plain2 = await eng.transcribe(audio, SR, max_new_tokens=4)
+                return r_hot, r_plain, r_plain2
+            finally:
+                eng.shutdown()
+
+        r_hot, r_plain, r_plain2 = _run(go())
+        assert all(t == zid for t in r_hot.tokens)  # hotword beats base
+        assert all(t == qid for t in r_plain.tokens)  # base bias active
+        assert all(t == qid for t in r_plain2.tokens)  # reset -> base

@@ -199,3 +199,34 @@ class TestBaseLogitBias:
         assert all(t == zid for t in r_hot.tokens)  # hotword beats base
         assert all(t == qid for t in r_plain.tokens)  # base bias active
         assert all(t == qid for t in r_plain2.tokens)  # reset -> base
+
+
+class TestShutdownCleanliness:
+    def test_shutdown_fails_inflight_requests(self, stack):
+        """Stopping the engine with requests in flight must FAIL their
+        futures (not leave callers hanging on never-resolved awaits)."""
+        cfg, tr = stack
+        audio = _audio(0.5, seed=42)
+
+        async def go():
+            # same shapes as TestBatcherParity so programs are already
+            # compiled — otherwise the first tick sits in an XLA compile and
+            # cancellation can't land inside the wait window
+            eng = BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32)
+            await eng.transcribe(audio, SR, max_new_tokens=32)  # warm: compiles every program the measured request needs
+            fut = asyncio.ensure_future(
+                eng.transcribe(audio, SR, max_new_tokens=32)
+            )
+            # let the scheduler admit + dispatch at least one tick
+            await asyncio.sleep(0.05)
+            eng.shutdown()
+            try:
+                await asyncio.wait_for(fut, timeout=30.0)
+                return "completed"  # raced to completion before stop: fine
+            except RuntimeError:
+                return "failed"  # cleanly failed: fine
+            except asyncio.TimeoutError:
+                return "hung"
+
+        outcome = _run(go())
+        assert outcome in ("completed", "failed"), outcome

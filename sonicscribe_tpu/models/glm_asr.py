@@ -412,13 +412,26 @@ def decode_step(
     tokens: jnp.ndarray,  # [B] int32 current input tokens
     active: jnp.ndarray | None = None,  # [B] bool; inactive rows don't advance
     use_flash: bool = False,
+    kv_write_in_scan: bool = True,
+    unroll: int = 1,
 ) -> Tuple[Cache, jnp.ndarray]:
     """One autoregressive step for the whole decode batch. Returns f32 logits.
 
+    KV-write placement (measured A/B on the real v5e, DECODE_STEP_BENCH.json
+    via tools/bench_decode.py): the default scatters the current token into
+    the cache INSIDE the layer scan and re-emits the cache as ys — XLA
+    aliases the xs->ys buffers in place, so this does NOT rewrite the padded
+    cache to HBM and measures ~5% faster than the alternative
+    (`kv_write_in_scan=False`), which keeps the caches read-only inside the
+    scan, folds the current token into attention as an explicit extra score
+    column, and scatters the new rows [L, B, nkv, hd] once after the scan.
+    Both forms are token-identical; the flag exists for re-benchmarking on
+    new hardware/XLA versions.
+
     use_flash=True routes attention through the Pallas flash-decode kernel
     (ops/decode_attention.py): only the occupied KV blocks are read from HBM
-    instead of the whole padded cache — decode is bandwidth-bound, so this
-    scales cost with actual occupancy. Requires max_len % 128 == 0.
+    instead of the whole padded cache. Requires max_len % 128 == 0; implies
+    the in-scan write (the kernel reads the current token from the cache).
     """
     dec = cfg.decoder
     B = tokens.shape[0]
@@ -442,6 +455,8 @@ def decode_step(
     hist_valid = kpos < pos[:, None]
 
     batch_idx = jnp.arange(B)
+    nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
+    scale = 1.0 / math.sqrt(dec.head_dim)
 
     def body(h, layer):
         lp, k_cache, v_cache = layer
@@ -449,13 +464,13 @@ def decode_step(
         q, k_new, v_new = _decoder_qkv(lp, hn, dec)  # [B, nh, hd], [B, nkv, hd]
         q = _apply_rope(q[:, None], cos[:, None], sin[:, None], rot)[:, 0]
         k_new = _apply_rope(k_new[:, None], cos[:, None], sin[:, None], rot)[:, 0]
+        # match the numerics of reading the stored (cache-dtype) K/V back
+        k_new = k_new.astype(k_cache.dtype)
+        v_new = v_new.astype(v_cache.dtype)
 
-        k_cache = k_cache.at[batch_idx, pos].set(
-            k_new.astype(k_cache.dtype), mode="drop"
-        )
-        v_cache = v_cache.at[batch_idx, pos].set(
-            v_new.astype(v_cache.dtype), mode="drop"
-        )
+        if use_flash or kv_write_in_scan:
+            k_cache = k_cache.at[batch_idx, pos].set(k_new, mode="drop")
+            v_cache = v_cache.at[batch_idx, pos].set(v_new, mode="drop")
 
         if use_flash:
             from sonicscribe_tpu.ops.decode_attention import (
@@ -466,29 +481,50 @@ def decode_step(
                 q, k_cache, v_cache, pos, interpret=flash_interpret
             ).astype(h.dtype)
         else:
-            nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
             qg = q.reshape(B, nkv, g, dec.head_dim)
             scores = jnp.einsum(
                 "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
-            ) * (1.0 / math.sqrt(dec.head_dim))
-            valid = hist_valid | (kpos == pos[:, None])
-            scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-            attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
-            ctx = jnp.einsum("bkgs,bskd->bkgd", attn, v_cache).reshape(
-                B, dec.n_heads * dec.head_dim
-            )
+            ) * scale
+            if kv_write_in_scan:  # current token is in the cache
+                valid = hist_valid | (kpos == pos[:, None])
+                scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+                attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+                ctx = jnp.einsum("bkgs,bskd->bkgd", attn, v_cache)
+            else:  # read-only cache: fold the current token in explicitly
+                scores = jnp.where(
+                    hist_valid[:, None, None, :], scores, NEG_INF
+                )
+                score_new = jnp.einsum(
+                    "bkgd,bkd->bkg", qg, k_new,
+                    preferred_element_type=jnp.float32,
+                )[..., None] * scale  # [B, nkv, g, 1]
+                scores = jnp.concatenate([scores, score_new], axis=-1)
+                attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+                ctx = jnp.einsum(
+                    "bkgs,bskd->bkgd", attn[..., :max_len], v_cache
+                ) + attn[..., max_len:] * v_new[:, :, None, :]
+            ctx = ctx.reshape(B, dec.n_heads * dec.head_dim)
         h = h + matmul(ctx, lp["o_w"])
 
         hn = _rms_norm(h, lp["ln2_scale"], dec.rms_eps)
         gate, up = jnp.split(matmul(hn, lp["gate_up_w"]), 2, axis=-1)
         h = h + matmul(jax.nn.silu(gate) * up, lp["down_w"])
-        return h, (k_cache, v_cache)
+        if use_flash or kv_write_in_scan:
+            return h, (k_cache, v_cache)
+        return h, (k_new, v_new)
 
-    h, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["decoder"]["layers"], cache["k"], cache["v"])
+    h, (k_out, v_out) = jax.lax.scan(
+        body, x, (params["decoder"]["layers"], cache["k"], cache["v"]),
+        unroll=unroll,
     )
+    if use_flash or kv_write_in_scan:
+        cache_k, cache_v = k_out, v_out  # full caches re-emitted by the scan
+    else:
+        # one small scatter of the new rows [L, B, nkv, hd] into the caches
+        cache_k = cache["k"].at[:, batch_idx, pos].set(k_out, mode="drop")
+        cache_v = cache["v"].at[:, batch_idx, pos].set(v_out, mode="drop")
     new_len = jnp.where(active, jnp.minimum(pos + 1, max_len), pos)
-    cache = {"k": k_new, "v": v_new, "len": new_len}
+    cache = {"k": cache_k, "v": cache_v, "len": new_len}
     return cache, _lm_logits(params, cfg, h)
 
 

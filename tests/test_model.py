@@ -87,6 +87,40 @@ class TestDecoder:
         )
         assert int(jnp.argmax(logits_full, -1)[0]) == toks[-1]
 
+    def test_kv_write_placement_parity(self, setup):
+        """decode_step's two KV-write forms (in-scan default vs read-only-scan
+        + post-scan scatter, see DECODE_STEP_BENCH.json) are numerically
+        equivalent: same logits, same cache contents."""
+        cfg, params = setup
+        B, L, N = 3, 10, 5
+        rng = jax.random.PRNGKey(7)
+        prompt = jax.random.normal(rng, (B, L, cfg.decoder.d_model)) * 0.1
+        lengths = jnp.array([L, L - 3, L - 6])
+
+        caches, all_logits = [], []
+        for in_scan in (True, False):
+            cache = init_cache(cfg, B, L + N + 1, dtype=jnp.float32)
+            cache, logits = prefill(params, cfg, prompt, lengths, cache)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            seq = []
+            for _ in range(N):
+                cache, logits = decode_step(
+                    params, cfg, cache, tok, kv_write_in_scan=in_scan
+                )
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+                seq.append(np.asarray(logits))
+            caches.append(cache)
+            all_logits.append(seq)
+        for a, b in zip(*all_logits):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(caches[0]["k"]), np.asarray(caches[1]["k"]),
+            rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(caches[0]["len"]), np.asarray(caches[1]["len"])
+        )
+
     def test_prefill_padding_invariance(self, setup):
         """Extra padded positions beyond `length` must not affect logits."""
         cfg, params = setup

@@ -109,9 +109,11 @@ def main():
     tr_b._zero_bias = jnp.asarray(no_eos)
     # slots match the segment count: decode-step cost scales with total cache
     # rows read, so oversizing the slot pool directly taxes file RTF
+    # pure-batch workload: only the long pool is ever active, so skip the
+    # fused dual-pool program compiles in warmup
     engine = BatchedEngine(tr_b, EnergyVad(), slots=n_seg,
                            max_decode_tokens=file_budget,
-                           base_logit_bias=no_eos)
+                           base_logit_bias=no_eos, fuse_dual_decode=False)
     engine.warmup()
     segments = [
         (0.1 * rng.standard_normal(int(sr * seg_seconds))).astype(np.float32)

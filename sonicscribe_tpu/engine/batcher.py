@@ -66,6 +66,9 @@ from sonicscribe_tpu.vad.model import WINDOW_SAMPLES
 logger = logging.getLogger(__name__)
 
 _DECODE_K_CHOICES = (1, 2, 4, 8, 16, 32, 64)
+# fused dual-pool decode is only reachable while realtime sessions are live
+# (k is then capped at live_k_cap=32), so k=64 never compiles for it
+_DUAL_K_CHOICES = (1, 2, 4, 8, 16, 32)
 _VAD_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
 
@@ -305,6 +308,74 @@ def _decode_k_program(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "k_steps"),
+    # out_tokens (argnums 6, 15) are not donated — see _decode_k_program
+    donate_argnums=(2, 3, 4, 5, 7, 8, 11, 12, 13, 14, 16, 17),
+)
+def _decode_k_dual_program(
+    params,
+    cfg: GlmAsrConfig,
+    a_ck, a_cv, a_cl, a_tok, a_out, a_n, a_dn, a_bias, a_bud,  # short pool
+    b_ck, b_cv, b_cl, b_tok, b_out, b_n, b_dn, b_bias, b_bud,  # long pool
+    k_steps: int,
+):
+    """K greedy steps for BOTH cache pools in ONE program.
+
+    Decode is weight-bandwidth-bound; when the short (interim) and long
+    (final/file) pools are active in the same tick, separate programs stream
+    the ~3.4 GB of layer weights from HBM twice per step-round. This program
+    runs the step via decode_step_dual (models/glm_asr.py): one layer scan,
+    weights read once, row-independent math on the concatenated batch,
+    attention split per pool. Bookkeeping is identical to _decode_k_program,
+    per pool. Returns both pools' new state + status rows.
+    """
+    from sonicscribe_tpu.models.glm_asr import decode_step_dual
+
+    Sa, MAXN_A = a_out.shape
+    Sb, MAXN_B = b_out.shape
+    ia, ib = jnp.arange(Sa), jnp.arange(Sb)
+
+    def book(logits, bias, dn, tok, out, n, bud, idx, max_new):
+        nxt = jnp.argmax(logits + bias, -1).astype(jnp.int32)
+        nxt = jnp.where(dn, tok, nxt)
+        pos = jnp.minimum(n, max_new - 1)
+        cur = out[idx, pos]
+        out = out.at[idx, pos].set(jnp.where(dn, cur, nxt))
+        n = jnp.where(dn, n, n + 1)
+        dn = dn | (nxt == cfg.eos_id) | (n >= bud)
+        return nxt, out, n, dn
+
+    def step(carry, _):
+        (ack, acv, acl, atok, aout, an, adn,
+         bck, bcv, bcl, btok, bout, bn, bdn) = carry
+        ca = {"k": ack, "v": acv, "len": acl}
+        cb = {"k": bck, "v": bcv, "len": bcl}
+        ca, la, cb, lb = decode_step_dual(
+            params, cfg, ca, atok, cb, btok, active_a=~adn, active_b=~bdn
+        )
+        atok, aout, an, adn = book(la, a_bias, adn, atok, aout, an, a_bud, ia, MAXN_A)
+        btok, bout, bn, bdn = book(lb, b_bias, bdn, btok, bout, bn, b_bud, ib, MAXN_B)
+        return (ca["k"], ca["v"], ca["len"], atok, aout, an, adn,
+                cb["k"], cb["v"], cb["len"], btok, bout, bn, bdn), None
+
+    (a_ck, a_cv, a_cl, a_tok, a_out, a_n, a_dn,
+     b_ck, b_cv, b_cl, b_tok, b_out, b_n, b_dn), _ = jax.lax.scan(
+        step,
+        (a_ck, a_cv, a_cl, a_tok, a_out, a_n, a_dn,
+         b_ck, b_cv, b_cl, b_tok, b_out, b_n, b_dn),
+        None,
+        length=k_steps,
+    )
+    status_a = jnp.where(a_dn, -(a_n + 1), a_n + 1)
+    status_b = jnp.where(b_dn, -(b_n + 1), b_n + 1)
+    return (
+        a_ck, a_cv, a_cl, a_tok, a_out, a_n, a_dn, status_a,
+        b_ck, b_cv, b_cl, b_tok, b_out, b_n, b_dn, status_b,
+    )
+
+
 def _make_vad_batch_program(vad, n_sub: int):
     @jax.jit
     def run(params, windows, states):
@@ -434,6 +505,7 @@ class BatchedEngine:
         mesh=None,
         flash_decode: str = "auto",
         base_logit_bias=None,
+        fuse_dual_decode: bool = False,
     ):
         """flash_decode: "auto" | "on" | "off" — route decode attention
         through the Pallas flash-decode kernel (ops/decode_attention.py),
@@ -491,6 +563,16 @@ class BatchedEngine:
         if dtype == jnp.int8:  # quantized params: cache stays bf16
             dtype = jnp.bfloat16
         self.use_flash = flash_decode == "on"
+        # fused dual-pool decode: when both pools are active in a tick, one
+        # program streams the weights once for both (see
+        # _decode_k_dual_program). Measured on the v5e 50-stream bench
+        # (DUAL_DECODE_BENCH.json): total decode throughput improves, but the
+        # long pool's per-step KV read lands on the INTERIM critical path —
+        # p95 interim went 261->394 ms — because separate programs let the
+        # short program finish and be fetched first. Interim latency is the
+        # north star, so the default is OFF; turn on for throughput-oriented
+        # mixed file+stream deployments.
+        self.fuse_dual = bool(fuse_dual_decode) and not self.use_flash
         # base additive logit bias applied to EVERY slot (benches suppress
         # EOS/pad with it; production could damp special tokens)
         self._base_bias = (
@@ -826,6 +908,9 @@ class BatchedEngine:
                         pool.compiled_prefill.add((bucket, sb, B))
             for k in _DECODE_K_CHOICES:
                 self._dispatch_decode(pool, k)
+        if self.fuse_dual:
+            for k in _DUAL_K_CHOICES:
+                self._dispatch_decode_dual(k)
         # VAD batch program: one jitted fn, but XLA compiles per batch bucket
         n_sub = 10240 // WINDOW_SAMPLES  # 640 ms gate window
         if self._vad_program is None or self._vad_n_sub != n_sub:
@@ -1046,6 +1131,26 @@ class BatchedEngine:
         )
         return status
 
+    def _dispatch_decode_dual(self, k: int):
+        """K steps for BOTH pools in one program (weights stream once).
+        Returns (status_short, status_long) device handles."""
+        a, b = self.short, self.long
+        (
+            a.cache_k, a.cache_v, a.cache_len, a.last_tok,
+            a.out_tokens, a.n_emitted, a.done, status_a,
+            b.cache_k, b.cache_v, b.cache_len, b.last_tok,
+            b.out_tokens, b.n_emitted, b.done, status_b,
+        ) = _decode_k_dual_program(
+            self.transcriber.params,
+            self.cfg,
+            a.cache_k, a.cache_v, a.cache_len, a.last_tok,
+            a.out_tokens, a.n_emitted, a.done, a.bias, a.budgets,
+            b.cache_k, b.cache_v, b.cache_len, b.last_tok,
+            b.out_tokens, b.n_emitted, b.done, b.bias, b.budgets,
+            k,
+        )
+        return status_a, status_b
+
     # ---------------- scheduler ----------------
 
     @property
@@ -1138,8 +1243,9 @@ class BatchedEngine:
 
         pending, self._pending_results = self._pending_results, None
         if pending:
-            for r in pending.get("ring_vad_batch", ()):
-                fail(r.future)
+            for chunk in pending.get("ring_vad_batch", ()):
+                for r in chunk:
+                    fail(r.future)
         for pool in self.pools:
             for s in pool.slots:
                 if s.active and s.request is not None:
@@ -1167,11 +1273,21 @@ class BatchedEngine:
         if self._ingest_pending:
             self._scatter_ingest()
 
-        # 1) VAD programs (dispatch only; host-audio VAD resolves inline)
+        # 1) VAD programs (dispatch only; host-audio VAD resolves inline).
+        # Ring batches split to the largest compiled bucket: a lockstep
+        # burst from >64 streams dispatches as multiple programs.
         vad_done = self._run_vad_batch(vad_batch) if vad_batch else None
-        ring_vad_probs = (
-            self._dispatch_vad_ring(ring_vad_batch) if ring_vad_batch else None
-        )
+        cap = _VAD_BATCH_BUCKETS[-1]
+        ring_vad_chunks = [
+            ring_vad_batch[i : i + cap]
+            for i in range(0, len(ring_vad_batch), cap)
+        ]
+        ring_vad_probs = [self._dispatch_vad_ring(c) for c in ring_vad_chunks]
+        # a failed dispatch resolves its chunk's futures with the error
+        ring_vad_pairs = [
+            (p, c) for p, c in zip(ring_vad_probs, ring_vad_chunks)
+            if p is not None
+        ]
 
         # 2) admits from the backlogs, routed per pool (dispatch only). If a
         # pool is starved while its class has a burst waiting, resolve the
@@ -1197,10 +1313,10 @@ class BatchedEngine:
 
         # 5) park this tick's device handles for the next tick (out_tokens is
         # not donated, so these handles stay valid across later dispatches)
-        if ring_vad_probs is not None or parked:
+        if ring_vad_pairs or parked:
             self._pending_results = {
-                "ring_vad": ring_vad_probs,
-                "ring_vad_batch": ring_vad_batch,
+                "ring_vad": [p for p, _ in ring_vad_pairs],
+                "ring_vad_batch": [c for _, c in ring_vad_pairs],
                 "pools": parked,
             }
 
@@ -1258,18 +1374,18 @@ class BatchedEngine:
             return
         pools = list(prev.get("pools", ()))
         first: dict = {}
-        if prev.get("ring_vad") is not None:
-            first["ring_vad"] = prev["ring_vad"]
+        if prev.get("ring_vad"):
+            first["ring_vad"] = prev["ring_vad"]  # list of per-chunk probs
         if pools and pools[0][0] is self.short:
             first["status"], first["tokens"] = pools[0][1], pools[0][2]
         host = jax.device_get(first) if first else {}
         if "ring_vad" in host:
-            probs_host = host["ring_vad"]
-            self.stats["vad_batches"] += 1
-            for j, r in enumerate(prev["ring_vad_batch"]):
-                r.future.get_loop().call_soon_threadsafe(
-                    _resolve_quietly, r.future, float(probs_host[j])
-                )
+            for probs_host, chunk in zip(host["ring_vad"], prev["ring_vad_batch"]):
+                self.stats["vad_batches"] += 1
+                for j, r in enumerate(chunk):
+                    r.future.get_loop().call_soon_threadsafe(
+                        _resolve_quietly, r.future, float(probs_host[j])
+                    )
         if "status" in host:
             self._reap_decode(self.short, host["status"], host["tokens"], pools[0][3])
             pools = pools[1:]
@@ -1619,47 +1735,62 @@ class BatchedEngine:
         self.stats["prefills"] += len(items)
         self.stats["prefill_programs"] = self.stats.get("prefill_programs", 0) + 1
 
-    def _dispatch_decode_all(self) -> list:
-        """Per pool with active slots: pick K, dispatch its decode program.
-        Returns [(pool, status_dev, tokens_handle), ...] to park."""
-        parked = []
-        for pool in self.pools:
-            if pool.n_active == 0:
-                continue
-            remaining = [
-                max(1, s.budget - 1 - s.steps_seen)
-                for s in pool.slots
-                if s.active
-            ]
-            # the device enforces exact budget/EOS stops; k only shapes
-            # latency: smallest choice >= min remaining finishes the
-            # most-urgent slot in ONE tick; capped while requests wait or
-            # realtime sessions are live so a long tick never delays anyone
-            min_rem = max(1, min(remaining)) if remaining else 1
-            k = next((c for c in _DECODE_K_CHOICES if c >= min_rem),
-                     _DECODE_K_CHOICES[-1])
-            if (
-                self._ring_backlog
-                or self._host_backlog
-                or not self._requests.empty()
-                or not self._ring_requests.empty()
-                or not self._vad_ring_requests.empty()
-                or not self._vad_requests.empty()
-            ):
-                k = min(k, self.pending_k_cap)
-            elif len(self._free_streams) < self.N_STREAMS:
-                k = min(k, self.live_k_cap)
+    def _pick_k(self, pool: _CachePool) -> int:
+        """The device enforces exact budget/EOS stops; k only shapes latency:
+        smallest choice >= min remaining finishes the most-urgent slot in ONE
+        tick; capped while requests wait or realtime sessions are live so a
+        long tick never delays anyone."""
+        remaining = [
+            max(1, s.budget - 1 - s.steps_seen) for s in pool.slots if s.active
+        ]
+        min_rem = max(1, min(remaining)) if remaining else 1
+        k = next((c for c in _DECODE_K_CHOICES if c >= min_rem),
+                 _DECODE_K_CHOICES[-1])
+        if (
+            self._ring_backlog
+            or self._host_backlog
+            or not self._requests.empty()
+            or not self._ring_requests.empty()
+            or not self._vad_ring_requests.empty()
+            or not self._vad_requests.empty()
+        ):
+            k = min(k, self.pending_k_cap)
+        elif len(self._free_streams) < self.N_STREAMS:
+            k = min(k, self.live_k_cap)
+        return k
 
+    def _park(self, pool: _CachePool, status, k: int, parked: list) -> None:
+        self.stats["decode_steps"] += k
+        for s in pool.slots:
+            if s.active:
+                s.steps_seen += k
+        # snapshot request identities: resolution happens a tick later,
+        # and by then a reaped slot may already host a NEW request — a
+        # stale negative status row must never finish the newcomer
+        reqs = [s.request for s in pool.slots]
+        parked.append((pool, status, pool.out_tokens, reqs))
+
+    def _dispatch_decode_all(self) -> list:
+        """Pick K and dispatch decode for every pool with active slots.
+        When BOTH pools are active and fusion is on, one dual program streams
+        the weights once for both classes (the dominant HBM term). Returns
+        [(pool, status_dev, tokens_handle, reqs), ...] to park."""
+        parked = []
+        active = [p for p in self.pools if p.n_active > 0]
+        if self.fuse_dual and len(active) == 2:
+            # shared k = the smaller of the two pools' choices: the urgent
+            # (usually interim) class still finishes in one tick, the other
+            # continues next tick at no extra weight-bandwidth cost
+            k = min(self._pick_k(p) for p in active)
+            status_a, status_b = self._dispatch_decode_dual(k)
+            self.stats["dual_decodes"] = self.stats.get("dual_decodes", 0) + 1
+            self._park(self.short, status_a, k, parked)
+            self._park(self.long, status_b, k, parked)
+            return parked
+        for pool in active:
+            k = self._pick_k(pool)
             status = self._dispatch_decode(pool, k)
-            self.stats["decode_steps"] += k
-            for s in pool.slots:
-                if s.active:
-                    s.steps_seen += k
-            # snapshot request identities: resolution happens a tick later,
-            # and by then a reaped slot may already host a NEW request — a
-            # stale negative status row must never finish the newcomer
-            reqs = [s.request for s in pool.slots]
-            parked.append((pool, status, pool.out_tokens, reqs))
+            self._park(pool, status, k, parked)
         return parked
 
     def _reap_decode(
@@ -1709,6 +1840,13 @@ class BatchedEngine:
             req.future.get_loop().call_soon_threadsafe(req.future.set_result, result)
 
     def _run_vad_batch(self, batch: list[_VadReq]) -> None:
+        # split to the largest compiled bucket: a lockstep burst from >64
+        # streams must not overflow the bucket table (found at 100 streams)
+        cap = _VAD_BATCH_BUCKETS[-1]
+        for i in range(0, len(batch), cap):
+            self._run_vad_batch_one(batch[i : i + cap])
+
+    def _run_vad_batch_one(self, batch: list[_VadReq]) -> None:
         try:
             n_sub = max(max(1, len(r.audio) // WINDOW_SAMPLES) for r in batch)
             B = next(b for b in _VAD_BATCH_BUCKETS if b >= len(batch))

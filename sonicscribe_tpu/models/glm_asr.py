@@ -528,6 +528,106 @@ def decode_step(
     return cache, _lm_logits(params, cfg, h)
 
 
+def decode_step_dual(
+    params: Params,
+    cfg: GlmAsrConfig,
+    cache_a: Cache,
+    tokens_a: jnp.ndarray,  # [Ba] int32
+    cache_b: Cache,
+    tokens_b: jnp.ndarray,  # [Bb] int32
+    active_a: jnp.ndarray | None = None,
+    active_b: jnp.ndarray | None = None,
+) -> Tuple[Cache, jnp.ndarray, Cache, jnp.ndarray]:
+    """One autoregressive step for TWO decode batches with DIFFERENT cache
+    shapes in ONE program, streaming the layer weights from HBM once.
+
+    Motivation: the continuous batcher keeps two KV pools (short/interim and
+    long/final — engine/batcher.py); decode is weight-bandwidth-bound at
+    serving batch sizes (~3.4 GB/step for nano bf16, DECODE_STEP_BENCH.json),
+    so dispatching the pools as separate programs doubles the dominant HBM
+    term whenever both classes are active — which under realtime load is most
+    ticks. Here every row-independent op (RMSNorm, QKV/O/MLP projections,
+    lm_head) runs on the CONCATENATED [Ba+Bb] batch; only attention splits,
+    each half reading its own cache. Numerics per row are identical to
+    decode_step (same op shapes row-wise; verified in tests/test_model.py).
+
+    Returns (cache_a, logits_a, cache_b, logits_b); logits f32.
+    """
+    dec = cfg.decoder
+    Ba, Bb = tokens_a.shape[0], tokens_b.shape[0]
+    pos_a, pos_b = cache_a["len"], cache_b["len"]
+    if active_a is None:
+        active_a = jnp.ones((Ba,), bool)
+    if active_b is None:
+        active_b = jnp.ones((Bb,), bool)
+
+    x = embed_tokens(params, jnp.concatenate([tokens_a, tokens_b]))  # [B, D]
+    pos_all = jnp.concatenate([pos_a, pos_b])
+    cos, sin, rot = _rope_tables(dec, pos_all)
+
+    max_a, max_b = cache_a["k"].shape[2], cache_b["k"].shape[2]
+    kpos_a = jax.lax.broadcasted_iota(jnp.int32, (Ba, max_a), 1)
+    kpos_b = jax.lax.broadcasted_iota(jnp.int32, (Bb, max_b), 1)
+    valid_a = (kpos_a < pos_a[:, None]) | (kpos_a == pos_a[:, None])
+    valid_b = (kpos_b < pos_b[:, None]) | (kpos_b == pos_b[:, None])
+    idx_a, idx_b = jnp.arange(Ba), jnp.arange(Bb)
+    nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
+    scale = 1.0 / math.sqrt(dec.head_dim)
+
+    def attend(q, k_cache, v_cache, valid):
+        B = q.shape[0]
+        qg = q.reshape(B, nkv, g, dec.head_dim)
+        scores = jnp.einsum(
+            "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        return jnp.einsum("bkgs,bskd->bkgd", attn, v_cache).reshape(
+            B, dec.n_heads * dec.head_dim
+        )
+
+    def body(h, layer):
+        lp, ka, va, kb, vb = layer
+        hn = _rms_norm(h, lp["ln1_scale"], dec.rms_eps)
+        q, k_new, v_new = _decoder_qkv(lp, hn, dec)  # [B, nh, hd], [B, nkv, hd]
+        q = _apply_rope(q[:, None], cos[:, None], sin[:, None], rot)[:, 0]
+        k_new = _apply_rope(k_new[:, None], cos[:, None], sin[:, None], rot)[:, 0]
+
+        ka = ka.at[idx_a, pos_a].set(k_new[:Ba].astype(ka.dtype), mode="drop")
+        va = va.at[idx_a, pos_a].set(v_new[:Ba].astype(va.dtype), mode="drop")
+        kb = kb.at[idx_b, pos_b].set(k_new[Ba:].astype(kb.dtype), mode="drop")
+        vb = vb.at[idx_b, pos_b].set(v_new[Ba:].astype(vb.dtype), mode="drop")
+
+        ctx = jnp.concatenate(
+            [attend(q[:Ba], ka, va, valid_a), attend(q[Ba:], kb, vb, valid_b)]
+        )
+        h = h + matmul(ctx, lp["o_w"])
+
+        hn = _rms_norm(h, lp["ln2_scale"], dec.rms_eps)
+        gate, up = jnp.split(matmul(hn, lp["gate_up_w"]), 2, axis=-1)
+        h = h + matmul(jax.nn.silu(gate) * up, lp["down_w"])
+        return h, (ka, va, kb, vb)
+
+    h, (ka, va, kb, vb) = jax.lax.scan(
+        body,
+        x,
+        (
+            params["decoder"]["layers"],
+            cache_a["k"], cache_a["v"], cache_b["k"], cache_b["v"],
+        ),
+    )
+    logits = _lm_logits(params, cfg, h)
+    new_a = {
+        "k": ka, "v": va,
+        "len": jnp.where(active_a, jnp.minimum(pos_a + 1, max_a), pos_a),
+    }
+    new_b = {
+        "k": kb, "v": vb,
+        "len": jnp.where(active_b, jnp.minimum(pos_b + 1, max_b), pos_b),
+    }
+    return new_a, logits[:Ba], new_b, logits[Ba:]
+
+
 # =====================================================================
 # Convenience: whole-prompt greedy generation (file path / tests)
 # =====================================================================

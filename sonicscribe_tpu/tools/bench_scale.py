@@ -1,0 +1,136 @@
+"""Scale bench: beyond-target workloads on the real chip.
+
+Two measurements the headline bench (bench.py) doesn't cover:
+
+1. LONG-FILE batched RTF — 24 x 20.48 s segments (a ~8 min file) decoded
+   concurrently through the continuous batcher with a 24-slot pool. Decode is
+   weight-bandwidth-bound, so more in-flight segments amortize the per-step
+   weight stream and the RTF drops well below the 8-segment headline figure.
+2. 100 CONCURRENT realtime streams — twice the north-star target (>=50,
+   BASELINE.json), realtime-paced, measuring interim latency percentiles.
+
+Writes SCALE_BENCH.json at the repo root.
+Run:  python -m sonicscribe_tpu.tools.bench_scale [--skip-file] [--skip-streams]
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.join(repo, ".jax_cache")),
+    )
+
+    from sonicscribe_tpu.config import AppConfig
+    from sonicscribe_tpu.engine.batcher import BatchedEngine
+    from sonicscribe_tpu.engine.transcriber import Transcriber
+    from sonicscribe_tpu.models import nano
+    from sonicscribe_tpu.models.glm_asr import init_params
+    from sonicscribe_tpu.models.tokenizer import ByteTokenizer
+    from sonicscribe_tpu.tools.loadtest import run_load
+    from sonicscribe_tpu.vad.model import EnergyVad
+
+    cfg = nano()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tokenizer = ByteTokenizer(cfg)
+    no_eos = np.zeros((cfg.decoder.vocab_size,), np.float32)
+    no_eos[cfg.eos_id] = -1e9
+    no_eos[cfg.pad_id] = -1e9
+
+    sr = 16000
+    results = {"backend": jax.default_backend()}
+
+    # ---- 1) long-file batched RTF: 24 segments, 24 slots ----
+    if "--skip-file" not in sys.argv:
+        n_seg = 24
+        seg_bucket = 2048  # 20.48 s
+        seg_seconds = seg_bucket * 160 / sr
+        budget = 256
+        tr = Transcriber(cfg, params, tokenizer, prefill_buckets=(seg_bucket,))
+        tr._zero_bias = jnp.asarray(no_eos)
+        engine = BatchedEngine(
+            tr, EnergyVad(), slots=n_seg, max_decode_tokens=budget,
+            base_logit_bias=no_eos, fuse_dual_decode=False,
+        )
+        engine.warmup()
+        rng = np.random.default_rng(0)
+        segments = [
+            (0.1 * rng.standard_normal(int(sr * seg_seconds))).astype(np.float32)
+            for _ in range(n_seg)
+        ]
+
+        async def run_batch():
+            t0 = time.perf_counter()
+            rs = await asyncio.gather(
+                *[engine.transcribe(s, sr, max_new_tokens=budget) for s in segments]
+            )
+            dt = time.perf_counter() - t0
+            counts = [len(r.tokens) for r in rs]
+            assert all(c == budget for c in counts), counts
+            return dt
+
+        loop = asyncio.new_event_loop()
+        loop.run_until_complete(run_batch())  # settle
+        dt = min(loop.run_until_complete(run_batch()) for _ in range(2))
+        engine.shutdown()
+        loop.close()
+        results.update(
+            {
+                "file_long_segments": n_seg,
+                "file_long_audio_seconds": round(n_seg * seg_seconds, 1),
+                "file_long_rtf": round(dt / (n_seg * seg_seconds), 5),
+                "file_long_vs_baseline": round(0.02 / (dt / (n_seg * seg_seconds)), 2),
+            }
+        )
+        print(json.dumps(results))
+
+    # ---- 2) 100 concurrent realtime streams ----
+    if "--skip-streams" not in sys.argv:
+        n_streams = 100
+        tr_s = Transcriber(cfg, params, tokenizer, prefill_buckets=(128, 512))
+        s_engine = BatchedEngine(
+            tr_s, EnergyVad(), slots=64, max_decode_tokens=200,
+            n_streams=128, base_logit_bias=no_eos,
+        )
+        t_w = time.perf_counter()
+        s_engine.warmup()
+        results["stream100_warmup_s"] = round(time.perf_counter() - t_w, 1)
+        app_cfg = AppConfig()
+        loop = asyncio.new_event_loop()
+        loop.run_until_complete(
+            run_load(s_engine, app_cfg, n_streams, 8.0, realtime=True)
+        )
+        m = loop.run_until_complete(
+            run_load(s_engine, app_cfg, n_streams, 12.0, realtime=True)
+        )
+        s_engine.shutdown()
+        loop.close()
+        results.update(
+            {
+                "stream100_interim_p50_ms": m["interim_p50_ms"],
+                "stream100_interim_p95_ms": m["interim_p95_ms"],
+                "stream100_committed": m["committed_count"],
+                "stream100_ingest_lag_s": m["max_ingest_lag_s"],
+            }
+        )
+
+    with open(os.path.join(repo, "SCALE_BENCH.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -132,6 +132,93 @@ class TestBatcherParity:
         assert p_quiet < 0.4
 
 
+class TestDualPoolDecode:
+    def test_mixed_classes_fuse_and_match(self, stack):
+        """Concurrent interim-class (short pool) + final-class (long pool)
+        requests must decode through the FUSED dual-pool program (one weight
+        stream per step, stats['dual_decodes'] > 0) and still match the
+        unbatched engine token-for-token."""
+        cfg, tr = stack
+        shorts = [_audio(0.3, f=220 + 50 * i, seed=30 + i) for i in range(3)]
+        longs = [_audio(0.6, f=400 + 80 * i, seed=40 + i) for i in range(2)]
+        golden_s = [tr.transcribe(a, SR, max_new_tokens=8).tokens for a in shorts]
+        # budget 24 > short_budget(16) routes these to the long pool
+        golden_l = [tr.transcribe(a, SR, max_new_tokens=24).tokens for a in longs]
+
+        async def go():
+            eng = BatchedEngine(
+                tr, EnergyVad(), slots=4, max_decode_tokens=32,
+                fuse_dual_decode=True,
+            )
+            assert eng.fuse_dual
+            try:
+                rs = await asyncio.gather(
+                    *[eng.transcribe(a, SR, max_new_tokens=8) for a in shorts],
+                    *[eng.transcribe(a, SR, max_new_tokens=24) for a in longs],
+                )
+                return [r.tokens for r in rs], dict(eng.stats)
+            finally:
+                eng.shutdown()
+
+        got, stats = _run(go())
+        assert stats.get("dual_decodes", 0) > 0, stats
+        for i, (g, w) in enumerate(zip(got[:3], golden_s)):
+            np.testing.assert_array_equal(g, w, err_msg=f"short request {i}")
+        for i, (g, w) in enumerate(zip(got[3:], golden_l)):
+            np.testing.assert_array_equal(g, w, err_msg=f"long request {i}")
+
+
+class TestVadBurstOver64:
+    def test_ring_vad_burst_over_largest_bucket(self, stack):
+        """A lockstep gate-window burst from >64 streams must split across
+        multiple VAD programs, not crash the scheduler (regression: 100
+        realtime streams raised StopIteration in _dispatch_vad_ring)."""
+        cfg, tr = stack
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=2, n_streams=80)
+            try:
+                streams = [eng.alloc_stream() for _ in range(70)]
+                assert all(s is not None for s in streams)
+                rng = np.random.default_rng(0)
+                pcm = (rng.standard_normal(1024) * 3000).astype("<i2").tobytes()
+                for s in streams:
+                    for c in range(10):  # one 640 ms gate window
+                        eng.ingest(s, c, pcm)
+                probs = await asyncio.gather(
+                    *[eng.vad_window_ring(s, 0) for s in streams]
+                )
+                for s in streams:
+                    eng.free_stream(s)
+                return probs
+            finally:
+                eng.shutdown()
+
+        probs = _run(go())
+        assert len(probs) == 70
+        assert all(0.0 <= p <= 1.0 for p in probs)
+
+    def test_host_vad_burst_over_largest_bucket(self, stack):
+        """Same overflow guard on the host-audio VAD path."""
+        cfg, tr = stack
+        win = (0.1 * np.random.default_rng(1).standard_normal(10240)).astype(
+            np.float32
+        )
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=2)
+            try:
+                return await asyncio.gather(
+                    *[eng.vad_window_prob(win, None) for _ in range(70)]
+                )
+            finally:
+                eng.shutdown()
+
+        results = _run(go())
+        assert len(results) == 70
+        assert all(0.0 <= p <= 1.0 for p, _state in results)
+
+
 class TestSlotReuse:
     def test_sequential_waves_no_stale_reap(self, stack):
         """Slot reuse across back-to-back request waves: a slot freed and

@@ -121,6 +121,50 @@ class TestDecoder:
             np.asarray(caches[0]["len"]), np.asarray(caches[1]["len"])
         )
 
+    def test_decode_step_dual_matches_single(self, setup):
+        """decode_step_dual (one program for two cache pools, weights read
+        once) is row-identical to two decode_step calls."""
+        from sonicscribe_tpu.models.glm_asr import decode_step_dual
+
+        cfg, params = setup
+        rng = jax.random.PRNGKey(11)
+        pa = jax.random.normal(rng, (2, 8, cfg.decoder.d_model)) * 0.1
+        pb = jax.random.normal(jax.random.PRNGKey(12), (3, 14, cfg.decoder.d_model)) * 0.1
+        la, lb = jnp.array([8, 5]), jnp.array([14, 9, 3])
+
+        ca = init_cache(cfg, 2, 16, dtype=jnp.float32)
+        cb = init_cache(cfg, 3, 24, dtype=jnp.float32)
+        ca, log_a = prefill(params, cfg, pa, la, ca)
+        cb, log_b = prefill(params, cfg, pb, lb, cb)
+        ta = jnp.argmax(log_a, -1).astype(jnp.int32)
+        tb = jnp.argmax(log_b, -1).astype(jnp.int32)
+
+        # single path (reference)
+        ca1, cb1, ta1, tb1 = ca, cb, ta, tb
+        ref_a, ref_b = [], []
+        for _ in range(4):
+            ca1, l1 = decode_step(params, cfg, ca1, ta1)
+            cb1, l2 = decode_step(params, cfg, cb1, tb1)
+            ta1 = jnp.argmax(l1, -1).astype(jnp.int32)
+            tb1 = jnp.argmax(l2, -1).astype(jnp.int32)
+            ref_a.append(np.asarray(l1))
+            ref_b.append(np.asarray(l2))
+
+        # dual path
+        ca2, cb2, ta2, tb2 = ca, cb, ta, tb
+        for i in range(4):
+            ca2, l1, cb2, l2 = decode_step_dual(params, cfg, ca2, ta2, cb2, tb2)
+            ta2 = jnp.argmax(l1, -1).astype(jnp.int32)
+            tb2 = jnp.argmax(l2, -1).astype(jnp.int32)
+            np.testing.assert_allclose(np.asarray(l1), ref_a[i], rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(l2), ref_b[i], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ca1["k"]), np.asarray(ca2["k"]), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cb1["len"]), np.asarray(cb2["len"])
+        )
+
     def test_prefill_padding_invariance(self, setup):
         """Extra padded positions beyond `length` must not affect logits."""
         cfg, params = setup

@@ -127,9 +127,20 @@ def main():
             }
         )
 
-    with open(os.path.join(repo, "SCALE_BENCH.json"), "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
+    # merge with any prior run so --skip-* partial runs don't clobber the
+    # other section's recorded numbers
+    out_path = os.path.join(repo, "SCALE_BENCH.json")
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+    merged.update(results)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":

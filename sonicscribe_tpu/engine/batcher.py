@@ -66,9 +66,10 @@ from sonicscribe_tpu.vad.model import WINDOW_SAMPLES
 logger = logging.getLogger(__name__)
 
 _DECODE_K_CHOICES = (1, 2, 4, 8, 16, 32, 64)
-# fused dual-pool decode is only reachable while realtime sessions are live
-# (k is then capped at live_k_cap=32), so k=64 never compiles for it
-_DUAL_K_CHOICES = (1, 2, 4, 8, 16, 32)
+# the fused dual-pool program's shared k is the SHORT pool's pick, and short
+# slots carry budgets <= short_budget = min(16, max_decode_tokens), so its k
+# never exceeds 16 — larger programs would be compiled but never dispatched
+_DUAL_K_CHOICES = (1, 2, 4, 8, 16)
 _VAD_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
 
@@ -76,6 +77,13 @@ def _resolve_quietly(future: asyncio.Future, result) -> None:
     """set_result unless the client already cancelled/closed."""
     if not future.done():
         future.set_result(result)
+
+
+def _chunked(seq: list, cap: int) -> list[list]:
+    """Split to bucket-capped chunks: a lockstep burst from more streams than
+    the largest compiled batch bucket must span multiple programs (found as a
+    StopIteration crash at 100 realtime streams)."""
+    return [seq[i : i + cap] for i in range(0, len(seq), cap)]
 
 
 # =====================================================================
@@ -1277,11 +1285,7 @@ class BatchedEngine:
         # Ring batches split to the largest compiled bucket: a lockstep
         # burst from >64 streams dispatches as multiple programs.
         vad_done = self._run_vad_batch(vad_batch) if vad_batch else None
-        cap = _VAD_BATCH_BUCKETS[-1]
-        ring_vad_chunks = [
-            ring_vad_batch[i : i + cap]
-            for i in range(0, len(ring_vad_batch), cap)
-        ]
+        ring_vad_chunks = _chunked(ring_vad_batch, _VAD_BATCH_BUCKETS[-1])
         ring_vad_probs = [self._dispatch_vad_ring(c) for c in ring_vad_chunks]
         # a failed dispatch resolves its chunk's futures with the error
         ring_vad_pairs = [
@@ -1778,10 +1782,12 @@ class BatchedEngine:
         parked = []
         active = [p for p in self.pools if p.n_active > 0]
         if self.fuse_dual and len(active) == 2:
-            # shared k = the smaller of the two pools' choices: the urgent
-            # (usually interim) class still finishes in one tick, the other
-            # continues next tick at no extra weight-bandwidth cost
-            k = min(self._pick_k(p) for p in active)
+            # shared k = the SHORT pool's own choice: the latency-critical
+            # class finishes in one tick, and the long pool rides along at
+            # no extra weight-bandwidth cost (its done slots freeze on
+            # device). min() over both pools would let a nearly-done long
+            # slot throttle k to 1 and stretch an interim across many ticks.
+            k = self._pick_k(self.short)
             status_a, status_b = self._dispatch_decode_dual(k)
             self.stats["dual_decodes"] = self.stats.get("dual_decodes", 0) + 1
             self._park(self.short, status_a, k, parked)
@@ -1840,11 +1846,8 @@ class BatchedEngine:
             req.future.get_loop().call_soon_threadsafe(req.future.set_result, result)
 
     def _run_vad_batch(self, batch: list[_VadReq]) -> None:
-        # split to the largest compiled bucket: a lockstep burst from >64
-        # streams must not overflow the bucket table (found at 100 streams)
-        cap = _VAD_BATCH_BUCKETS[-1]
-        for i in range(0, len(batch), cap):
-            self._run_vad_batch_one(batch[i : i + cap])
+        for chunk in _chunked(batch, _VAD_BATCH_BUCKETS[-1]):
+            self._run_vad_batch_one(chunk)
 
     def _run_vad_batch_one(self, batch: list[_VadReq]) -> None:
         try:

@@ -498,6 +498,11 @@ def decode_step(
                     "bkgd,bkd->bkg", qg, k_new,
                     preferred_element_type=jnp.float32,
                 )[..., None] * scale  # [B, nkv, g, 1]
+                # full cache (pos == max_len): the in-scan form's write is
+                # dropped and the token never attended — match that here
+                score_new = jnp.where(
+                    (pos < max_len)[:, None, None, None], score_new, NEG_INF
+                )
                 scores = jnp.concatenate([scores, score_new], axis=-1)
                 attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
                 ctx = jnp.einsum(
@@ -568,8 +573,8 @@ def decode_step_dual(
     max_a, max_b = cache_a["k"].shape[2], cache_b["k"].shape[2]
     kpos_a = jax.lax.broadcasted_iota(jnp.int32, (Ba, max_a), 1)
     kpos_b = jax.lax.broadcasted_iota(jnp.int32, (Bb, max_b), 1)
-    valid_a = (kpos_a < pos_a[:, None]) | (kpos_a == pos_a[:, None])
-    valid_b = (kpos_b < pos_b[:, None]) | (kpos_b == pos_b[:, None])
+    valid_a = kpos_a <= pos_a[:, None]  # history + the just-written token
+    valid_b = kpos_b <= pos_b[:, None]
     idx_a, idx_b = jnp.arange(Ba), jnp.arange(Bb)
     nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
     scale = 1.0 / math.sqrt(dec.head_dim)

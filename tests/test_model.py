@@ -121,6 +121,27 @@ class TestDecoder:
             np.asarray(caches[0]["len"]), np.asarray(caches[1]["len"])
         )
 
+    def test_kv_write_parity_full_cache(self, setup):
+        """Cache completely full (pos == max_len): the in-scan form drops the
+        write and never attends the current token; the read-only form must
+        match (its extra score column is masked), not silently diverge."""
+        cfg, params = setup
+        L = 12
+        prompt = jax.random.normal(
+            jax.random.PRNGKey(21), (2, L, cfg.decoder.d_model)
+        ) * 0.1
+        lengths = jnp.array([L, L])
+        logits = []
+        for in_scan in (True, False):
+            cache = init_cache(cfg, 2, L, dtype=jnp.float32)  # max_len == L
+            cache, lg = prefill(params, cfg, prompt, lengths, cache)
+            tok = jnp.argmax(lg, -1).astype(jnp.int32)
+            cache, lg = decode_step(
+                params, cfg, cache, tok, kv_write_in_scan=in_scan
+            )
+            logits.append(np.asarray(lg))
+        np.testing.assert_allclose(logits[0], logits[1], rtol=1e-5, atol=1e-5)
+
     def test_decode_step_dual_matches_single(self, setup):
         """decode_step_dual (one program for two cache pools, weights read
         once) is row-identical to two decode_step calls."""
@@ -158,12 +179,15 @@ class TestDecoder:
             tb2 = jnp.argmax(l2, -1).astype(jnp.int32)
             np.testing.assert_allclose(np.asarray(l1), ref_a[i], rtol=1e-5, atol=1e-5)
             np.testing.assert_allclose(np.asarray(l2), ref_b[i], rtol=1e-5, atol=1e-5)
-        np.testing.assert_allclose(
-            np.asarray(ca1["k"]), np.asarray(ca2["k"]), rtol=1e-6, atol=1e-6
-        )
-        np.testing.assert_array_equal(
-            np.asarray(cb1["len"]), np.asarray(cb2["len"])
-        )
+        for single, dual in ((ca1, ca2), (cb1, cb2)):
+            for key in ("k", "v"):
+                np.testing.assert_allclose(
+                    np.asarray(single[key]), np.asarray(dual[key]),
+                    rtol=1e-6, atol=1e-6,
+                )
+            np.testing.assert_array_equal(
+                np.asarray(single["len"]), np.asarray(dual["len"])
+            )
 
     def test_prefill_padding_invariance(self, setup):
         """Extra padded positions beyond `length` must not affect logits."""

@@ -97,6 +97,14 @@ class AppConfig:
     # default keeps XLA attention; the short/long KV pool split is the
     # adopted occupancy-scaling mechanism.
     flash_decode: str = field(default_factory=lambda: _env("FLASH_DECODE", "auto"))
+    # fused dual-pool decode: one program decodes both KV pools per tick so
+    # the layer weights stream from HBM once. Raises mixed-load throughput
+    # but puts the long pool's KV read on the interim critical path
+    # (DUAL_DECODE_BENCH.json: p95 261->394 ms at 50 streams) => default off;
+    # enable for throughput-oriented mixed file+stream deployments.
+    fuse_dual_decode: bool = field(
+        default_factory=lambda: _env_bool("FUSE_DUAL_DECODE", False)
+    )
 
     @property
     def samples_per_chunk(self) -> int:

@@ -516,6 +516,7 @@ def build_runtime(
             max_decode_tokens=max(config.file_max_new_tokens, config.final_max_tokens),
             mesh=mesh,
             flash_decode=config.flash_decode,
+            fuse_dual_decode=config.fuse_dual_decode,
         )
     else:
         engine = ThreadedEngine(transcriber, vad)
@@ -528,6 +529,7 @@ def build_runtime(
         "decode_slots": config.decode_slots if engine_kind == "batched" else 1,
         "data_parallel": dp,
         "flash_decode": bool(getattr(engine, "use_flash", False)),
+        "fuse_dual_decode": bool(getattr(engine, "fuse_dual", False)),
         "backend": jax.default_backend(),
     }
     return engine, vad, info

@@ -86,7 +86,6 @@ class AppConfig:
     # ---- TPU engine (new; no reference counterpart) ----
     quant_mode: str = field(default_factory=lambda: _env("QUANT_MODE", "native"))
     decode_slots: int = field(default_factory=lambda: int(_env("DECODE_SLOTS", "32")))
-    max_decode_len: int = 256
     # mel-frame bucket sizes for prefill (static shapes for XLA)
     prefill_buckets: List[int] = field(
         default_factory=lambda: [128, 256, 512, 1024, 2048, 3072]

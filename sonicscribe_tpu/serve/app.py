@@ -539,8 +539,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="SonicScribe-TPU server")
     parser.add_argument("--host", default=None)
     parser.add_argument("--port", type=int, default=None)
-    parser.add_argument("--model", default="tiny-random",
-                        help="'tiny-random' | 'nano-random' | checkpoint dir")
+    parser.add_argument("--model", default=None,
+                        help="'tiny-random' | 'nano-random' | checkpoint dir "
+                             "(default: $CHECKPOINT_PATH if it exists, else "
+                             "tiny-random — reference backend/config.py:13)")
     parser.add_argument("--vad", default="energy", help="'energy' | 'silero'")
     parser.add_argument(
         "--engine", default="batched", choices=("batched", "threaded"),
@@ -569,6 +571,13 @@ def main(argv=None):
         config.port = args.port
     if args.quant:
         config.quant_mode = args.quant
+    if args.model is None:
+        # honor the reference's CHECKPOINT_PATH env var (backend/config.py:13)
+        args.model = (
+            config.checkpoint_path
+            if os.path.isdir(config.checkpoint_path)
+            else "tiny-random"
+        )
 
     logging.basicConfig(
         level=getattr(logging, config.log_level.upper(), logging.INFO),

@@ -492,7 +492,14 @@ def build_runtime(
         params = quantize_params_int8(params)
 
     transcriber = Transcriber(mcfg, params, tokenizer, prefill_buckets=buckets)
-    vad = EnergyVad() if vad_spec == "energy" else SileroVad()
+    if vad_spec == "energy":
+        vad = EnergyVad()
+    elif vad_spec == "silero":
+        vad = SileroVad()  # random-init (no checkpoint in this environment)
+    else:  # a converted silero weights file (tools/convert_silero.py)
+        from sonicscribe_tpu.tools.convert_silero import load_npz
+
+        vad = SileroVad(params=load_npz(vad_spec))
     mesh = None
     dp = 1
     if engine_kind == "batched":

@@ -573,13 +573,14 @@ class BatchedEngine:
         self.use_flash = flash_decode == "on"
         # fused dual-pool decode: when both pools are active in a tick, one
         # program streams the weights once for both (see
-        # _decode_k_dual_program). Measured on the v5e 50-stream bench
-        # (DUAL_DECODE_BENCH.json): total decode throughput improves, but the
-        # long pool's per-step KV read lands on the INTERIM critical path —
-        # p95 interim went 261->394 ms — because separate programs let the
-        # short program finish and be fetched first. Interim latency is the
-        # north star, so the default is OFF; turn on for throughput-oriented
-        # mixed file+stream deployments.
+        # _decode_k_dual_program). Measured on the v5e (DUAL_DECODE_BENCH,
+        # MIXED_BENCH): the long pool's per-step KV read lands on the INTERIM
+        # critical path (50-stream p95 261->394 ms) — separate programs let
+        # the short program finish and be fetched first — and even the
+        # intended mixed file+stream scenario showed no file-side win at nano
+        # scale (file wall 2.24->2.22 s, interim p95 worse). Default OFF;
+        # the knob exists for much larger models where the weight stream
+        # dominates both pools' KV reads.
         self.fuse_dual = bool(fuse_dual_decode) and not self.use_flash
         # base additive logit bias applied to EVERY slot (benches suppress
         # EOS/pad with it; production could damp special tokens)

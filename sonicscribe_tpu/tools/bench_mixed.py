@@ -1,0 +1,115 @@
+"""Mixed-workload bench: realtime streams + a concurrent file job.
+
+The scenario FUSE_DUAL_DECODE exists for: N realtime sessions (short-pool
+interims) while the server also transcribes an uploaded file (long-pool
+segments). Measures, for fusion off and on:
+
+- interim latency percentiles of the realtime streams,
+- wall time of the concurrent file job.
+
+Writes MIXED_BENCH.json. Run: python -m sonicscribe_tpu.tools.bench_mixed
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.join(repo, ".jax_cache")),
+    )
+
+    from sonicscribe_tpu.config import AppConfig
+    from sonicscribe_tpu.engine.batcher import BatchedEngine
+    from sonicscribe_tpu.engine.transcriber import Transcriber
+    from sonicscribe_tpu.models import nano
+    from sonicscribe_tpu.models.glm_asr import init_params
+    from sonicscribe_tpu.models.tokenizer import ByteTokenizer
+    from sonicscribe_tpu.tools.loadtest import run_load
+    from sonicscribe_tpu.vad.model import EnergyVad
+
+    cfg = nano()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tokenizer = ByteTokenizer(cfg)
+    no_eos = np.zeros((cfg.decoder.vocab_size,), np.float32)
+    no_eos[cfg.eos_id] = -1e9
+    no_eos[cfg.pad_id] = -1e9
+
+    sr = 16000
+    n_streams = 50
+    seg_seconds = 512 * 160 / sr  # 5.12 s segments through the stream buckets
+    n_seg = 12  # ~61 s concurrent file job
+    rng = np.random.default_rng(0)
+    segments = [
+        (0.1 * rng.standard_normal(int(sr * seg_seconds))).astype(np.float32)
+        for _ in range(n_seg)
+    ]
+
+    results = {"backend": jax.default_backend(), "streams": n_streams,
+               "file_segments": n_seg,
+               "file_audio_seconds": round(n_seg * seg_seconds, 1)}
+    app_cfg = AppConfig()
+
+    for fuse in (False, True):
+        tag = "fuse_on" if fuse else "fuse_off"
+        tr = Transcriber(cfg, params, tokenizer, prefill_buckets=(128, 512))
+        engine = BatchedEngine(
+            tr, EnergyVad(), slots=32, max_decode_tokens=256,
+            base_logit_bias=no_eos, fuse_dual_decode=fuse,
+        )
+        engine.warmup()
+        loop = asyncio.new_event_loop()
+
+        async def run_both():
+            async def file_job():
+                # start after the streams settle, finish within the window
+                await asyncio.sleep(4.0)
+                t0 = time.perf_counter()
+                rs = await asyncio.gather(
+                    *[
+                        engine.transcribe(s, sr, max_new_tokens=256)
+                        for s in segments
+                    ]
+                )
+                assert all(len(r.tokens) == 256 for r in rs)
+                return time.perf_counter() - t0
+
+            load_task = asyncio.ensure_future(
+                run_load(engine, app_cfg, n_streams, 16.0, realtime=True)
+            )
+            file_task = asyncio.ensure_future(file_job())
+            m = await load_task
+            file_s = await file_task
+            return m, file_s
+
+        # settle run (compiles the runtime program mix), then measured
+        loop.run_until_complete(run_both())
+        m, file_s = loop.run_until_complete(run_both())
+        engine.shutdown()
+        loop.close()
+        results[f"{tag}_interim_p50_ms"] = m["interim_p50_ms"]
+        results[f"{tag}_interim_p95_ms"] = m["interim_p95_ms"]
+        results[f"{tag}_committed"] = m["committed_count"]
+        results[f"{tag}_ingest_lag_s"] = m["max_ingest_lag_s"]
+        results[f"{tag}_file_wall_s"] = round(file_s, 2)
+        results[f"{tag}_file_rtf"] = round(file_s / (n_seg * seg_seconds), 4)
+        print(json.dumps(results))
+
+    with open(os.path.join(repo, "MIXED_BENCH.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -707,6 +707,8 @@ class BatchedEngine:
         # so these bound queueing latency (tuned on-chip; see bench history)
         self.pending_k_cap = 16
         self.live_k_cap = 32
+        # long-pool cap while realtime streams are live (see _pick_k)
+        self.long_live_k_cap = 8
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots
 
@@ -1761,7 +1763,14 @@ class BatchedEngine:
         ):
             k = min(k, self.pending_k_cap)
         elif len(self._free_streams) < self.N_STREAMS:
-            k = min(k, self.live_k_cap)
+            # realtime sessions live: long-pool programs are capped harder —
+            # an interim arriving mid-program waits for it, and a k=32 long
+            # program blocks ~4x longer than a short one for the same
+            # per-token cost (k only amortizes dispatch overhead). Measured
+            # motivation: MIXED_BENCH.json's interim p95 spike during a
+            # concurrent file burst.
+            cap = self.live_k_cap if pool is self.short else self.long_live_k_cap
+            k = min(k, cap)
         return k
 
     def _park(self, pool: _CachePool, status, k: int, parked: list) -> None:

@@ -179,7 +179,8 @@ def main():
                 f"stream_interim_p50_ms{suffix}": m["interim_p50_ms"],
                 f"stream_interim_p95_ms{suffix}": m["interim_p95_ms"],
                 f"stream_committed{suffix}": m["committed_count"],
-                f"stream_ingest_lag_s{suffix}": m["max_ingest_lag_s"],
+                f"stream_committed_p50_ms{suffix}": m.get("committed_p50_ms"),
+                f"stream_ingest_lag_s{suffix}": m.get("max_ingest_lag_s"),
                 f"stream_warmup_s{suffix}": round(warmup_s, 1),
             }
 

@@ -239,6 +239,7 @@ class StreamSession:
     # ------------------------------------------------------------------
 
     async def _commit_segment(self, seg: SpeechSegment) -> None:
+        t0 = time.monotonic()  # speech-end -> committed_output latency
         async with self._decode_lock:
             audio, start_id, end_id = self.buffer.committed_audio(seg)
             duration = len(audio) / self.config.audio_sample_rate
@@ -253,7 +254,7 @@ class StreamSession:
                     seg.transcript = result.text
                     await self._send_committed(
                         str(seg.segment_id), result.text, start_id, end_id,
-                        seg.start_time, seg.end_time,
+                        seg.start_time, seg.end_time, t0,
                     )
                 else:
                     # split long finals into chunk-aligned _part_i sub-segments
@@ -280,12 +281,14 @@ class StreamSession:
                             c_hi,
                             c_lo * chunk_s,
                             (c_hi + 1) * chunk_s,
+                            t0,
                         )
             except Exception:
                 logger.exception("[%s] committed decode failed", self.client_id)
 
     async def _send_committed(
-        self, segment_id, text, start_id, end_id, start_time, end_time
+        self, segment_id, text, start_id, end_id, start_time, end_time,
+        t_start: float | None = None,
     ) -> None:
         if not self.active:
             return
@@ -299,6 +302,11 @@ class StreamSession:
                 "start_time": start_time,
                 "end_time": end_time,
                 "confidence": "high",
+                # additive vs the reference schema (which timed only
+                # tentatives): speech-end -> committed latency
+                "processing_delay": (
+                    time.monotonic() - t_start if t_start is not None else None
+                ),
             }
         )
 

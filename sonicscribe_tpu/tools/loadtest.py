@@ -79,6 +79,8 @@ async def run_load(
                 interim_lat.append(msg["processing_delay"])
             elif msg["type"] == "committed_output":
                 committed_count += 1
+                if msg.get("processing_delay") is not None:
+                    committed_lat.append(msg["processing_delay"])
 
         s = StreamSession(f"load{i}", config, engine, send, clock=clock)
         sessions.append(s)
@@ -130,6 +132,8 @@ async def run_load(
         "interim_p50_ms": round(pct(interim_lat, 50) * 1000, 1) if interim_lat else None,
         "interim_p95_ms": round(pct(interim_lat, 95) * 1000, 1) if interim_lat else None,
         "committed_count": committed_count,
+        "committed_p50_ms": round(pct(committed_lat, 50) * 1000, 1) if committed_lat else None,
+        "committed_p95_ms": round(pct(committed_lat, 95) * 1000, 1) if committed_lat else None,
         "errors": errors,
     }
 

@@ -128,6 +128,39 @@ def test_batched_engine_data_parallel_token_parity(devices_ok, stack):
         np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
 
 
+def test_batched_engine_dp_with_fused_dual_decode(devices_ok, stack):
+    """FUSE_DUAL_DECODE on the 8-device mesh: the fused dual-pool program
+    concatenates arrays sharded over 'data' — GSPMD must handle it with
+    token parity (a user can enable both knobs together)."""
+    cfg, tr = stack
+    shorts = [_audio(0.3, f=210 + 60 * i, seed=50 + i) for i in range(3)]
+    longs = [_audio(0.5, f=420 + 80 * i, seed=60 + i) for i in range(2)]
+    golden_s = [tr.transcribe(a, SR, max_new_tokens=8).tokens for a in shorts]
+    golden_l = [tr.transcribe(a, SR, max_new_tokens=24).tokens for a in longs]
+
+    mesh = make_mesh(8)
+
+    async def go():
+        eng = BatchedEngine(
+            tr, EnergyVad(), slots=8, max_decode_tokens=32, mesh=mesh,
+            fuse_dual_decode=True,
+        )
+        assert eng.fuse_dual
+        try:
+            rs = await asyncio.gather(
+                *[eng.transcribe(a, SR, max_new_tokens=8) for a in shorts],
+                *[eng.transcribe(a, SR, max_new_tokens=24) for a in longs],
+            )
+            return [r.tokens for r in rs], dict(eng.stats)
+        finally:
+            eng.shutdown()
+
+    got, stats = _run(go())
+    assert stats.get("dual_decodes", 0) > 0, stats
+    for i, (g, w) in enumerate(zip(got, golden_s + golden_l)):
+        np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
+
+
 def test_batched_engine_data_parallel_ring_path(devices_ok, stack):
     """The realtime path (packed chunk scatter into the sharded device ring,
     batched ring VAD, ring prefill) on the mesh matches the host-audio path

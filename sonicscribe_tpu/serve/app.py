@@ -72,6 +72,23 @@ async def cors_middleware(request: web.Request, handler):
 # ---------------------------------------------------------------------
 
 
+def _device_memory() -> dict:
+    """Device HBM usage (parity with the reference's GPU-memory
+    introspection, backend/asr.py:215-218,454-458). Not every backend
+    exposes memory_stats (CPU doesn't) — report what exists."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        out = {}
+        for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if key in stats:
+                out[key + "_mb"] = round(stats[key] / (1024 * 1024), 1)
+        return out
+    except Exception:
+        return {}
+
+
 async def health(request: web.Request) -> web.Response:
     app = request.app
     engine = app.get("engine")
@@ -83,6 +100,7 @@ async def health(request: web.Request) -> web.Response:
             "model_info": app.get("model_info", {}),
             "active_sessions": len(app["sessions"]),
             "engine_stats": getattr(engine, "stats", {}),
+            "device_memory": _device_memory(),
             "config": app["config"].protocol_constants(),
         }
     )

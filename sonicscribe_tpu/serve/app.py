@@ -578,6 +578,13 @@ def main(argv=None):
         "--no-warmup", action="store_true",
         help="skip startup compilation of the (bucket, budget) program grid",
     )
+    parser.add_argument(
+        "--warmup-full", action="store_true",
+        help="compile every (mel bucket, batch size) prefill pair, not just "
+             "the interim bucket's batch sizes — file uploads at big buckets "
+             "then prefill in groups instead of one-at-a-time (production "
+             "servers; slower first warmup, cached afterwards)",
+    )
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: warmup drops from minutes to seconds
@@ -621,7 +628,8 @@ def main(argv=None):
                 config.interim_max_new_tokens,
                 config.final_max_tokens,
                 config.file_max_new_tokens,
-            )
+            ),
+            **({"full": True} if args.warmup_full and args.engine == "batched" else {}),
         )
         warmup_s = _time.perf_counter() - t0
         info["warmup_s"] = round(warmup_s, 1)  # surfaced via /health

@@ -29,6 +29,63 @@ def _silence(sec, seed=1):
     )
 
 
+# Frozen wire-protocol schemas (SURVEY.md §2.7): exact field sets per message
+# type. Fields may only be ADDED here deliberately — accidental drift in any
+# message constructor fails the integration tests below.
+WS_SCHEMA = {
+    "connection_established": {
+        "type", "client_id", "resumed", "config", "capabilities",
+    },
+    "tentative_output": {
+        "type", "current_text", "text", "start_chunk_id", "end_chunk_id",
+        "duration", "confidence", "processing_delay",
+    },
+    "committed_output": {
+        "type", "text", "segment_id", "start_chunk_id", "end_chunk_id",
+        "start_time", "end_time", "confidence", "processing_delay",
+    },
+    "pong": {"type", "t"},
+    "connection_state": {
+        "type", "client_id", "is_speaking", "vad_enabled", "vad_threshold",
+        "buffered_chunks", "newest_chunk_id", "segments", "hotwords",
+    },
+    "config_updated": {"type", "vad_enabled", "threshold"},
+    "hotwords_updated": {"type", "hotwords"},
+    "error": {"type", "code", "message"},
+    "debug_audio_info": {"type", "enabled", "path"},
+}
+FILE_SCHEMA = {
+    "initialization": {
+        "type", "filename", "audio_duration", "vad_enabled", "hotwords",
+        "max_segment_duration", "total_segments",
+    },
+    "segments_summary": {"type", "total_segments", "segments"},
+    "segment_result": {
+        "type", "segment_index", "original_index", "sub_segment_index",
+        "start_time", "end_time", "text", "is_long_segment", "hotwords_used",
+        "rtf", "progress",
+    },
+    "segment_error": {
+        "type", "segment_index", "original_index", "start_time", "end_time",
+        "error", "progress",
+    },
+    "final_summary": {
+        "type", "total_segments", "successful_segments", "failed_segments",
+        "audio_duration", "processing_time", "rtf", "full_text",
+    },
+}
+
+
+def assert_schema(messages: list[dict], schema: dict) -> None:
+    for m in messages:
+        expected = schema.get(m["type"])
+        if expected is not None:
+            assert set(m) == expected, (
+                f"wire-schema drift in {m['type']!r}: "
+                f"extra={set(m) - expected}, missing={expected - set(m)}"
+            )
+
+
 @pytest.fixture(scope="module")
 def runtime():
     cfg = AppConfig()
@@ -90,6 +147,7 @@ async def test_file_transcription_ndjson(app, aiohttp_client):
     summary = lines[-1]
     assert summary["successful_segments"] >= 1
     assert summary["failed_segments"] == 0
+    assert_schema(lines, FILE_SCHEMA)
 
 
 async def test_file_transcription_aggregate_and_errors(app, aiohttp_client):
@@ -163,6 +221,7 @@ async def test_websocket_full_session(app, aiohttp_client):
 
     kinds = {m["type"] for m in msgs}
     assert "committed_output" in kinds, f"messages seen: {[m['type'] for m in msgs]}"
+    assert_schema([hello, state] + msgs, WS_SCHEMA)
     committed = next(m for m in msgs if m["type"] == "committed_output")
     assert {"text", "segment_id", "start_chunk_id", "end_chunk_id", "confidence"} <= set(
         committed

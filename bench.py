@@ -157,6 +157,9 @@ def main():
             # dedicated (natural) cache shapes: the stream engine's shorter
             # prompts make every decode step read far less KV cache; the
             # persistent compile cache amortizes the extra program set
+            # (a slots=n_streams variant measured no committed-latency win —
+            # finals are bounded by ticks-per-final, not slot waves — and a
+            # worse interim tail; 32 is the balanced size)
             s_engine = BatchedEngine(
                 tr_s, EnergyVad(), slots=4 if quick else 32,
                 max_decode_tokens=200, base_logit_bias=no_eos,

@@ -707,7 +707,12 @@ class BatchedEngine:
         # so these bound queueing latency (tuned on-chip; see bench history)
         self.pending_k_cap = 16
         self.live_k_cap = 32
-        # long-pool cap while realtime streams are live (see _pick_k)
+        # long-pool cap while realtime streams are live (see _pick_k).
+        # Tuned on chip: 8 halved the mixed-workload interim p95 (559->257 ms,
+        # MIXED_BENCH.json); a 16 variant measured worse on every metric.
+        # Committed (speech-end -> final) latency is dominated by slot-pool
+        # capacity vs synchronized final waves, not by k — size `slots` to
+        # the expected concurrent finals.
         self.long_live_k_cap = 8
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots

@@ -61,13 +61,21 @@ def main():
                "file_audio_seconds": round(n_seg * seg_seconds, 1)}
     app_cfg = AppConfig()
 
-    for fuse in (False, True):
-        tag = "fuse_on" if fuse else "fuse_off"
+    # one engine per variant, all in ONE process back-to-back: the shared
+    # tunneled chip drifts 20-60% between processes/hours, so only
+    # same-process A/B comparisons are trustworthy
+    variants = (
+        ("kcap8", False, 8),  # the shipped default
+        ("kcap_off", False, 10**9),  # uncapped long programs
+        ("fuse_on", True, 8),
+    )
+    for tag, fuse, kcap in variants:
         tr = Transcriber(cfg, params, tokenizer, prefill_buckets=(128, 512))
         engine = BatchedEngine(
             tr, EnergyVad(), slots=32, max_decode_tokens=256,
             base_logit_bias=no_eos, fuse_dual_decode=fuse,
         )
+        engine.long_live_k_cap = kcap
         engine.warmup()
         loop = asyncio.new_event_loop()
 
@@ -101,6 +109,7 @@ def main():
         results[f"{tag}_interim_p50_ms"] = m["interim_p50_ms"]
         results[f"{tag}_interim_p95_ms"] = m["interim_p95_ms"]
         results[f"{tag}_committed"] = m["committed_count"]
+        results[f"{tag}_committed_p50_ms"] = m.get("committed_p50_ms")
         results[f"{tag}_ingest_lag_s"] = m["max_ingest_lag_s"]
         results[f"{tag}_file_wall_s"] = round(file_s, 2)
         results[f"{tag}_file_rtf"] = round(file_s / (n_seg * seg_seconds), 4)

@@ -248,6 +248,20 @@ def _prefill_ring_program(
     )
 
 
+def _book_step(cfg, logits, bias, dn, tok, out, n, bud, idx, max_new):
+    """Per-step device-side bookkeeping shared by _decode_k_program and
+    _decode_k_dual_program: greedy pick with bias, frozen-slot token hold,
+    output append, EOS/budget termination."""
+    nxt = jnp.argmax(logits + bias, -1).astype(jnp.int32)
+    nxt = jnp.where(dn, tok, nxt)  # frozen slots keep their token
+    pos = jnp.minimum(n, max_new - 1)
+    cur = out[idx, pos]
+    out = out.at[idx, pos].set(jnp.where(dn, cur, nxt))
+    n = jnp.where(dn, n, n + 1)
+    dn = dn | (nxt == cfg.eos_id) | (n >= bud)
+    return nxt, out, n, dn
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "k_steps", "use_flash"),
@@ -285,14 +299,9 @@ def _decode_k_program(
         cache, logits = decode_step(
             params, cfg, cache, tok, active=~dn, use_flash=use_flash
         )
-        nxt = jnp.argmax(logits + bias, -1).astype(jnp.int32)
-        nxt = jnp.where(dn, tok, nxt)  # frozen slots keep their token
-        # append for active slots
-        pos = jnp.minimum(n, MAX_NEW - 1)
-        cur = out[b_idx, pos]
-        out = out.at[b_idx, pos].set(jnp.where(dn, cur, nxt))
-        n = jnp.where(dn, n, n + 1)
-        dn = dn | (nxt == cfg.eos_id) | (n >= budgets)
+        nxt, out, n, dn = _book_step(
+            cfg, logits, bias, dn, tok, out, n, budgets, b_idx, MAX_NEW
+        )
         return (cache["k"], cache["v"], cache["len"], nxt, out, n, dn), None
 
     (cache_k, cache_v, cache_len, last_tok, out_tokens, n_emitted, done), _ = (
@@ -345,16 +354,6 @@ def _decode_k_dual_program(
     Sb, MAXN_B = b_out.shape
     ia, ib = jnp.arange(Sa), jnp.arange(Sb)
 
-    def book(logits, bias, dn, tok, out, n, bud, idx, max_new):
-        nxt = jnp.argmax(logits + bias, -1).astype(jnp.int32)
-        nxt = jnp.where(dn, tok, nxt)
-        pos = jnp.minimum(n, max_new - 1)
-        cur = out[idx, pos]
-        out = out.at[idx, pos].set(jnp.where(dn, cur, nxt))
-        n = jnp.where(dn, n, n + 1)
-        dn = dn | (nxt == cfg.eos_id) | (n >= bud)
-        return nxt, out, n, dn
-
     def step(carry, _):
         (ack, acv, acl, atok, aout, an, adn,
          bck, bcv, bcl, btok, bout, bn, bdn) = carry
@@ -363,8 +362,12 @@ def _decode_k_dual_program(
         ca, la, cb, lb = decode_step_dual(
             params, cfg, ca, atok, cb, btok, active_a=~adn, active_b=~bdn
         )
-        atok, aout, an, adn = book(la, a_bias, adn, atok, aout, an, a_bud, ia, MAXN_A)
-        btok, bout, bn, bdn = book(lb, b_bias, bdn, btok, bout, bn, b_bud, ib, MAXN_B)
+        atok, aout, an, adn = _book_step(
+            cfg, la, a_bias, adn, atok, aout, an, a_bud, ia, MAXN_A
+        )
+        btok, bout, bn, bdn = _book_step(
+            cfg, lb, b_bias, bdn, btok, bout, bn, b_bud, ib, MAXN_B
+        )
         return (ca["k"], ca["v"], ca["len"], atok, aout, an, adn,
                 cb["k"], cb["v"], cb["len"], btok, bout, bn, bdn), None
 
@@ -1767,13 +1770,17 @@ class BatchedEngine:
             or not self._vad_requests.empty()
         ):
             k = min(k, self.pending_k_cap)
-        elif len(self._free_streams) < self.N_STREAMS:
+        if len(self._free_streams) < self.N_STREAMS:
             # realtime sessions live: long-pool programs are capped harder —
             # an interim arriving mid-program waits for it, and a k=32 long
             # program blocks ~4x longer than a short one for the same
             # per-token cost (k only amortizes dispatch overhead). Measured
             # motivation: MIXED_BENCH.json's interim p95 spike during a
-            # concurrent file burst.
+            # concurrent file burst (249 ms capped vs 1024 ms uncapped).
+            # Applied INDEPENDENTLY of the pending-backlog cap: a sustained
+            # file job whose segments overflow the slot pool keeps the
+            # backlog non-empty, and the pending cap (16) alone would defeat
+            # the tuned long cap exactly in that scenario.
             cap = self.live_k_cap if pool is self.short else self.long_live_k_cap
             k = min(k, cap)
         return k

@@ -313,6 +313,40 @@ def _gqa_context(attn, v):
     return ctx.reshape(B, Sq, nkv * g * hd)
 
 
+def _decoder_layer_mlp(h, lp, dec: DecoderConfig):
+    """Post-attention half of every decoder layer (shared by prefill,
+    decode_step, and decode_step_dual so fixes can't diverge)."""
+    hn = _rms_norm(h, lp["ln2_scale"], dec.rms_eps)
+    gate, up = jnp.split(matmul(hn, lp["gate_up_w"]), 2, axis=-1)
+    return h + matmul(jax.nn.silu(gate) * up, lp["down_w"])
+
+
+def _decode_qkv_rope(lp, hn, dec: DecoderConfig, cos, sin, rot):
+    """Single-position QKV + RoPE (decode_step / decode_step_dual).
+    hn: [B, D] -> q [B, nh, hd], k_new/v_new [B, nkv, hd]."""
+    q, k_new, v_new = _decoder_qkv(lp, hn, dec)
+    q = _apply_rope(q[:, None], cos[:, None], sin[:, None], rot)[:, 0]
+    k_new = _apply_rope(k_new[:, None], cos[:, None], sin[:, None], rot)[:, 0]
+    return q, k_new, v_new
+
+
+def _masked_decode_attention(q, k_cache, v_cache, valid, dec: DecoderConfig):
+    """Single-position GQA attention against a padded cache.
+    q: [B, nh, hd]; k/v_cache: [B, M, nkv, hd]; valid: [B, M] bool
+    -> ctx [B, nh*hd] in q's dtype."""
+    B = q.shape[0]
+    nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
+    qg = q.reshape(B, nkv, g, dec.head_dim)
+    scores = jnp.einsum(
+        "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(dec.head_dim))
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bkgs,bskd->bkgd", attn, v_cache).reshape(
+        B, dec.n_heads * dec.head_dim
+    )
+
+
 def _decoder_layer_prefill(x, lp, dec: DecoderConfig, cos, sin, rot, mask_bias):
     """x: [B, S, D]; returns (x', (k_layer, v_layer)) for cache storage."""
     h = _rms_norm(x, lp["ln1_scale"], dec.rms_eps)
@@ -325,12 +359,7 @@ def _decoder_layer_prefill(x, lp, dec: DecoderConfig, cos, sin, rot, mask_bias):
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = _gqa_context(attn, v)
     x = x + matmul(ctx, lp["o_w"])
-
-    h = _rms_norm(x, lp["ln2_scale"], dec.rms_eps)
-    gate_up = matmul(h, lp["gate_up_w"])
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    x = x + matmul(jax.nn.silu(gate) * up, lp["down_w"])
-    return x, (k, v)
+    return _decoder_layer_mlp(x, lp, dec), (k, v)
 
 
 def _lm_logits(params: Params, cfg: GlmAsrConfig, h: jnp.ndarray) -> jnp.ndarray:
@@ -461,9 +490,7 @@ def decode_step(
     def body(h, layer):
         lp, k_cache, v_cache = layer
         hn = _rms_norm(h, lp["ln1_scale"], dec.rms_eps)
-        q, k_new, v_new = _decoder_qkv(lp, hn, dec)  # [B, nh, hd], [B, nkv, hd]
-        q = _apply_rope(q[:, None], cos[:, None], sin[:, None], rot)[:, 0]
-        k_new = _apply_rope(k_new[:, None], cos[:, None], sin[:, None], rot)[:, 0]
+        q, k_new, v_new = _decode_qkv_rope(lp, hn, dec, cos, sin, rot)
         # match the numerics of reading the stored (cache-dtype) K/V back
         k_new = k_new.astype(k_cache.dtype)
         v_new = v_new.astype(v_cache.dtype)
@@ -480,40 +507,35 @@ def decode_step(
             ctx = flash_decode_attention(
                 q, k_cache, v_cache, pos, interpret=flash_interpret
             ).astype(h.dtype)
-        else:
+        elif kv_write_in_scan:  # current token is in the cache
+            ctx = _masked_decode_attention(
+                q, k_cache, v_cache, hist_valid | (kpos == pos[:, None]), dec
+            )
+        else:  # read-only cache: fold the current token in explicitly
             qg = q.reshape(B, nkv, g, dec.head_dim)
             scores = jnp.einsum(
                 "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
             ) * scale
-            if kv_write_in_scan:  # current token is in the cache
-                valid = hist_valid | (kpos == pos[:, None])
-                scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-                attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
-                ctx = jnp.einsum("bkgs,bskd->bkgd", attn, v_cache)
-            else:  # read-only cache: fold the current token in explicitly
-                scores = jnp.where(
-                    hist_valid[:, None, None, :], scores, NEG_INF
-                )
-                score_new = jnp.einsum(
-                    "bkgd,bkd->bkg", qg, k_new,
-                    preferred_element_type=jnp.float32,
-                )[..., None] * scale  # [B, nkv, g, 1]
-                # full cache (pos == max_len): the in-scan form's write is
-                # dropped and the token never attended — match that here
-                score_new = jnp.where(
-                    (pos < max_len)[:, None, None, None], score_new, NEG_INF
-                )
-                scores = jnp.concatenate([scores, score_new], axis=-1)
-                attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
-                ctx = jnp.einsum(
-                    "bkgs,bskd->bkgd", attn[..., :max_len], v_cache
-                ) + attn[..., max_len:] * v_new[:, :, None, :]
-            ctx = ctx.reshape(B, dec.n_heads * dec.head_dim)
+            scores = jnp.where(
+                hist_valid[:, None, None, :], scores, NEG_INF
+            )
+            score_new = jnp.einsum(
+                "bkgd,bkd->bkg", qg, k_new,
+                preferred_element_type=jnp.float32,
+            )[..., None] * scale  # [B, nkv, g, 1]
+            # full cache (pos == max_len): the in-scan form's write is
+            # dropped and the token never attended — match that here
+            score_new = jnp.where(
+                (pos < max_len)[:, None, None, None], score_new, NEG_INF
+            )
+            scores = jnp.concatenate([scores, score_new], axis=-1)
+            attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+            ctx = (
+                jnp.einsum("bkgs,bskd->bkgd", attn[..., :max_len], v_cache)
+                + attn[..., max_len:] * v_new[:, :, None, :]
+            ).reshape(B, dec.n_heads * dec.head_dim)
         h = h + matmul(ctx, lp["o_w"])
-
-        hn = _rms_norm(h, lp["ln2_scale"], dec.rms_eps)
-        gate, up = jnp.split(matmul(hn, lp["gate_up_w"]), 2, axis=-1)
-        h = h + matmul(jax.nn.silu(gate) * up, lp["down_w"])
+        h = _decoder_layer_mlp(h, lp, dec)
         if use_flash or kv_write_in_scan:
             return h, (k_cache, v_cache)
         return h, (k_new, v_new)
@@ -576,27 +598,11 @@ def decode_step_dual(
     valid_a = kpos_a <= pos_a[:, None]  # history + the just-written token
     valid_b = kpos_b <= pos_b[:, None]
     idx_a, idx_b = jnp.arange(Ba), jnp.arange(Bb)
-    nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
-    scale = 1.0 / math.sqrt(dec.head_dim)
-
-    def attend(q, k_cache, v_cache, valid):
-        B = q.shape[0]
-        qg = q.reshape(B, nkv, g, dec.head_dim)
-        scores = jnp.einsum(
-            "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
-        ) * scale
-        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        return jnp.einsum("bkgs,bskd->bkgd", attn, v_cache).reshape(
-            B, dec.n_heads * dec.head_dim
-        )
 
     def body(h, layer):
         lp, ka, va, kb, vb = layer
         hn = _rms_norm(h, lp["ln1_scale"], dec.rms_eps)
-        q, k_new, v_new = _decoder_qkv(lp, hn, dec)  # [B, nh, hd], [B, nkv, hd]
-        q = _apply_rope(q[:, None], cos[:, None], sin[:, None], rot)[:, 0]
-        k_new = _apply_rope(k_new[:, None], cos[:, None], sin[:, None], rot)[:, 0]
+        q, k_new, v_new = _decode_qkv_rope(lp, hn, dec, cos, sin, rot)
 
         ka = ka.at[idx_a, pos_a].set(k_new[:Ba].astype(ka.dtype), mode="drop")
         va = va.at[idx_a, pos_a].set(v_new[:Ba].astype(va.dtype), mode="drop")
@@ -604,13 +610,13 @@ def decode_step_dual(
         vb = vb.at[idx_b, pos_b].set(v_new[Ba:].astype(vb.dtype), mode="drop")
 
         ctx = jnp.concatenate(
-            [attend(q[:Ba], ka, va, valid_a), attend(q[Ba:], kb, vb, valid_b)]
+            [
+                _masked_decode_attention(q[:Ba], ka, va, valid_a, dec),
+                _masked_decode_attention(q[Ba:], kb, vb, valid_b, dec),
+            ]
         )
         h = h + matmul(ctx, lp["o_w"])
-
-        hn = _rms_norm(h, lp["ln2_scale"], dec.rms_eps)
-        gate, up = jnp.split(matmul(hn, lp["gate_up_w"]), 2, axis=-1)
-        h = h + matmul(jax.nn.silu(gate) * up, lp["down_w"])
+        h = _decoder_layer_mlp(h, lp, dec)
         return h, (ka, va, kb, vb)
 
     h, (ka, va, kb, vb) = jax.lax.scan(

@@ -568,7 +568,11 @@ def main(argv=None):
                         help="'tiny-random' | 'nano-random' | checkpoint dir "
                              "(default: $CHECKPOINT_PATH if it exists, else "
                              "tiny-random — reference backend/config.py:13)")
-    parser.add_argument("--vad", default="energy", help="'energy' | 'silero'")
+    parser.add_argument(
+        "--vad", default="energy",
+        help="'energy' | 'silero' (random-init) | path to converted Silero "
+             "weights (.npz from tools/convert_silero.py)",
+    )
     parser.add_argument(
         "--engine", default="batched", choices=("batched", "threaded"),
         help="continuous batcher (default) or single-threaded engine",

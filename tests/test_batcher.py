@@ -168,6 +168,31 @@ class TestDualPoolDecode:
             np.testing.assert_array_equal(g, w, err_msg=f"long request {i}")
 
 
+class TestPickK:
+    def test_long_cap_applies_even_with_pending_backlog(self, stack):
+        """Regression: the live long-pool k cap must apply INDEPENDENTLY of
+        the pending-backlog cap — a sustained file job whose segments
+        overflow the slot pool keeps the backlog non-empty, and the pending
+        cap (16) alone would defeat the tuned cap (8) exactly in the
+        sustained mixed-load scenario it exists for."""
+        cfg, tr = stack
+        eng = BatchedEngine(tr, EnergyVad(), slots=2, max_decode_tokens=64)
+        try:
+            s = eng.alloc_stream()  # realtime streams live
+            slot = eng.long.slots[0]
+            slot.active = True
+            slot.budget = 64
+            slot.steps_seen = 0
+            assert eng._pick_k(eng.long) <= eng.long_live_k_cap  # no backlog
+            eng._host_backlog.append(object())  # sustained backlog
+            assert eng._pick_k(eng.long) <= eng.long_live_k_cap
+            slot.active = False
+            eng._host_backlog.clear()
+            eng.free_stream(s)
+        finally:
+            eng.shutdown()
+
+
 class TestVadBurstOver64:
     def test_ring_vad_burst_over_largest_bucket(self, stack):
         """A lockstep gate-window burst from >64 streams must split across

@@ -51,8 +51,19 @@ class SileroMappingError(KeyError):
 
 
 def convert_state_dict(sd: dict[str, np.ndarray], cfg: SileroConfig | None = None):
-    """Upstream state dict (numpy values) -> SileroVad params pytree."""
+    """Upstream state dict (numpy values) -> SileroVad params pytree.
+
+    The upstream jit export nests the 16 kHz graph under `_model.` and ships
+    a parallel 8 kHz graph under `_model_8k.`; normalize both away first so
+    the candidate table matches either layout (verified against the torch
+    twin's state dict, tools/torch_silero.py)."""
     cfg = cfg or SileroConfig()
+    norm = {}
+    for k, v in sd.items():
+        if k.startswith("_model_8k."):
+            continue  # 8 kHz twin graph: not used (reference runs 16 kHz)
+        norm[k.removeprefix("_model.")] = v
+    sd = norm
 
     def fetch(ours: str, optional: bool = False):
         for cand in SILERO_NAME_CANDIDATES[ours]:

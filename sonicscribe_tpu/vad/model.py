@@ -74,7 +74,10 @@ class SileroVad:
     `_model.stft.forward_basis_buffer`), so a converted checkpoint
     reproduces upstream numerics through the converter
     (tools/convert_silero.py) — random init uses the analytic hann-windowed
-    DFT basis. Probability parity vs upstream is asserted by the
+    DFT basis. Graph + converter numerics are verified per-window ≤1e-5
+    against the independent torch twin (tools/torch_silero.py,
+    tests/test_convert_silero.py::TestTorchTwinParity); probability parity
+    vs the real upstream checkpoint is additionally asserted by the
     checkpoint-gated test in tests/test_vad.py.
     """
 
@@ -157,12 +160,17 @@ class SileroVad:
         mag = jnp.sqrt(real**2 + imag**2 + 1e-12)  # [B, F, bins]
 
         h = mag
+        # explicit symmetric padding k//2: upstream's Conv1d(padding=1).
+        # NOT "SAME" — for stride 2 XLA SAME pads (0,1) here, which shifts
+        # the strided taps off upstream's; caught by the torch-twin parity
+        # test (tests/test_convert_silero.py).
+        conv_pad = [(cfg.kernel // 2, cfg.kernel // 2)]
         for conv, stride in zip(params["convs"], cfg.conv_strides):
             h = jax.lax.conv_general_dilated(
                 h,
                 conv["w"],
                 window_strides=(stride,),
-                padding="SAME",
+                padding=conv_pad,
                 dimension_numbers=("NHC", "HIO", "NHC"),
             )
             h = jax.nn.relu(h + conv["b"])

@@ -54,3 +54,63 @@ def test_missing_key_error_lists_candidates():
     with pytest.raises(SileroMappingError) as e:
         convert_state_dict({"unrelated.weight": np.zeros(3)})
     assert "tried" in str(e.value)
+
+
+class TestTorchTwinParity:
+    """Numerical verification of the v5 graph + converter against the
+    independent torch twin (tools/torch_silero.py) — the Silero analogue of
+    test_convert_hf.py. Exercises every converter transpose, the reflect-pad
+    frame math, the context carry, and the LSTM gate order, stateful over a
+    silence/speech/silence signal (VERDICT r2 item 1)."""
+
+    def _audio(self):
+        rng = np.random.default_rng(7)
+        t = np.arange(16000) / 16000.0
+        speech = 0.3 * np.sin(2 * np.pi * 440 * t) * (
+            0.5 * (1 + np.sin(2 * np.pi * 3 * t))
+        ) + 0.01 * rng.standard_normal(len(t))
+        sil = 0.002 * rng.standard_normal(8192)
+        audio = np.concatenate([sil, speech, sil]).astype(np.float32)
+        # multiple of the 512-sample window: no tail-pad asymmetry
+        return audio[: (len(audio) // WINDOW_SAMPLES) * WINDOW_SAMPLES]
+
+    def test_probability_parity_stateful(self):
+        import torch
+
+        from sonicscribe_tpu.tools.torch_silero import (
+            TorchSileroVad,
+            synthetic_state_dict,
+        )
+        from sonicscribe_tpu.vad.model import window_probs
+
+        sd = synthetic_state_dict(seed=0)
+        # the converter sees the real upstream names (incl. _model. prefix)
+        assert "_model.stft.forward_basis_buffer" in sd
+        assert "_model.encoder.0.reparam_conv.weight" in sd
+        assert "_model.decoder.rnn.weight_ih" in sd
+        ours = SileroVad(params=convert_state_dict(sd))
+
+        twin = TorchSileroVad(seed=0)
+        twin.reset_states()
+
+        audio = self._audio()
+        got = window_probs(ours, audio)
+        want = []
+        for i in range(len(audio) // WINDOW_SAMPLES):
+            w = torch.from_numpy(
+                audio[i * WINDOW_SAMPLES : (i + 1) * WINDOW_SAMPLES]
+            )[None]
+            want.append(float(twin(w, 16000)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_8k_graph_ignored(self):
+        """`_model_8k.*` keys (the upstream 8 kHz twin graph) must not
+        shadow or break the 16 kHz mapping."""
+        from sonicscribe_tpu.tools.torch_silero import synthetic_state_dict
+
+        sd = synthetic_state_dict(seed=1)
+        sd["_model_8k.encoder.0.reparam_conv.weight"] = np.zeros(
+            (1, 1, 1), np.float32
+        )
+        params = convert_state_dict(sd)
+        assert params["convs"][0]["w"].shape[2] == 128  # 16 kHz channels

@@ -56,6 +56,36 @@ async def test_resume_unknown_id_starts_fresh(app, aiohttp_client):
     await ws.close()
 
 
+async def test_detached_sessions_swept_without_new_connects(app, aiohttp_client):
+    """The slot-leak regression (VERDICT r2 weak #3): abnormal disconnects
+    with NO follow-on connections must still release their engine ring slots
+    once the resume window expires — via the app's periodic sweeper, not
+    only the on-connect sweep."""
+    import asyncio
+
+    app["resume_window_s"] = 0.2  # read by the sweeper started on startup
+    client = await aiohttp_client(app)
+    engine = app["engine"]
+    free_before = len(engine._free_streams)
+
+    for _ in range(5):
+        ws = await client.ws_connect("/ws/audio")
+        await ws.receive_str()
+        await ws.send_bytes(b"\x00" * 2048)
+        await ws.close()  # abnormal: no {"type": "close"}
+
+    assert len(app["detached"]) == 5
+    assert len(engine._free_streams) == free_before - 5  # slots held
+
+    # no new connections; the periodic sweeper alone must reclaim the slots
+    for _ in range(100):
+        if len(engine._free_streams) == free_before and not app["detached"]:
+            break
+        await asyncio.sleep(0.05)
+    assert app["detached"] == {}
+    assert len(engine._free_streams) == free_before
+
+
 async def test_explicit_close_is_not_resumable(app, aiohttp_client):
     client = await aiohttp_client(app)
     ws = await client.ws_connect("/ws/audio")

@@ -66,11 +66,11 @@ from sonicscribe_tpu.vad.model import WINDOW_SAMPLES
 logger = logging.getLogger(__name__)
 
 _DECODE_K_CHOICES = (1, 2, 4, 8, 16, 32, 64)
-# the fused dual-pool program's shared k is the SHORT pool's pick, and short
-# slots carry budgets <= short_budget = min(16, max_decode_tokens), so its k
-# never exceeds 16 — larger programs would be compiled but never dispatched
-_DUAL_K_CHOICES = (1, 2, 4, 8, 16)
-_VAD_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+# coarse VAD batch ladder: ring-path padding rows are free (device slices,
+# no upload) and host-path padding costs ~40 KB/row of upload on the rare
+# overflow/threaded path — fewer buckets means fewer compiled programs,
+# which is what cold-start warmup is bound by (warmup_phase_s artifact)
+_VAD_BATCH_BUCKETS = (1, 4, 16, 64)
 
 
 def _resolve_quietly(future: asyncio.Future, result) -> None:
@@ -473,6 +473,7 @@ class _TranscribeReq:
     # differently than the pre-resample size estimate (prevents a re-route
     # bounce loop between the estimate and the real bucket)
     pool_hint: Any = None
+    t_admit: float = 0.0  # set when the prefill program is dispatched
 
 
 @dataclass
@@ -499,6 +500,7 @@ class _RingTranscribeReq:
     duration_s: float
     future: asyncio.Future
     t_enqueue: float
+    t_admit: float = 0.0  # set when the prefill program is dispatched
 
 
 class BatchedEngine:
@@ -657,6 +659,16 @@ class BatchedEngine:
             self.short_budget,
         )
         self.pools = (self.short, self.long)
+        # the SHORT pool's k ladder derives from short_budget: _pick_k picks
+        # the smallest choice >= min remaining <= short_budget-1, so the
+        # smallest power-of-two covering that is < 2*short_budget — if
+        # short_budget ever grows, the compiled grid grows with it instead
+        # of a mid-serving JIT stall (ADVICE r2). The fused dual program
+        # shares this ladder (its k is the short pool's pick) and the
+        # dispatch path additionally clamps to the largest compiled choice.
+        self.dual_k_choices = tuple(
+            c for c in _DECODE_K_CHOICES if c < 2 * max(self.short_budget, 1)
+        ) or (1,)
 
         # (bucket, B) prefill-program sizes compiled at warmup; groups are
         # split to compiled sizes at runtime so no request ever pays a
@@ -717,6 +729,11 @@ class BatchedEngine:
         # capacity vs synchronized final waves, not by k — size `slots` to
         # the expected concurrent finals.
         self.long_live_k_cap = 8
+        # ...but when the SHORT pool is idle this tick (no interims in
+        # flight), the long pool may take a bigger k: tuned on chip via
+        # COMMIT_LATENCY_BENCH (speech/silence cycles synchronize finals
+        # into the silence phase, exactly when no interims compete)
+        self.long_idle_k_cap = 16
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots
 
@@ -879,16 +896,46 @@ class BatchedEngine:
             loop.call_later(2.0, task.cancel)
 
     def warmup(self, budgets=(15, 200, 256), full: bool = False) -> None:
-        """Synchronously compile the prefill-program grid and the decode-k
-        programs for BOTH cache pools (callable before the event loop
-        starts).
+        """Compile the prefill-program grid, the decode-k ladders, and the
+        VAD/scatter programs for BOTH cache pools (callable before the event
+        loop starts).
+
+        Two passes. Pass 1 AOT-compiles the WHOLE grid in a thread pool via
+        `jit_fn.lower(args).compile()` — measured on the tunnel TPU, compile
+        latency is per-program round-trip-bound (~2-4 s each, even for the
+        tiny model) and the remote compiler parallelizes across client
+        threads ~5x, so the grid compiles in parallel wall time. Pass 2
+        replays the grid as real dispatches, which hit the persistent
+        compilation cache (the handoff is disk-cache-keyed, so warmup
+        enables a default cache dir if none is configured), and finishes
+        with one real admit->decode->reap per pool so every small utility
+        op is compiled too.
 
         Default grid: every batch size for the SMALLEST mel bucket (the
-        high-rate interim path, which lives in the short pool) and B=1 for
-        the others; `full=True` compiles every (bucket, B) pair (production
-        servers; slower warmup).
+        high-rate interim path), a {1,4,8} group ladder for the long pool's
+        default-suffix big buckets (synchronized final/file waves admit in
+        groups — COMMIT_LATENCY_BENCH), and B=1 elsewhere; `full=True`
+        compiles every (bucket, B) pair.
         """
         del budgets  # decode cost is per-k, not per-budget
+        import os as _os
+
+        # the pass-1 -> pass-2 handoff rides the persistent compilation
+        # cache; make sure one exists and that EVERY program persists (the
+        # default 1 s min-compile-time filter drops exactly the many small
+        # programs whose per-program round trips dominate restart warmup)
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.join(
+                    _os.path.expanduser("~"), ".cache", "sonicscribe_xla"
+                ),
+            )
+        try:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:  # older jax spelling; non-fatal
+            pass
+
         tr = self.transcriber
         prompt = build_prompt(tr.tokenizer, self.cfg)
         n_suffix = min(len(prompt.suffix_ids), MAX_SUFFIX_TOKENS)
@@ -898,100 +945,225 @@ class BatchedEngine:
             arr[:, : min(n_suffix, sb)] = prompt.suffix_ids[: min(n_suffix, sb)]
             return arr
 
-        dtype = self.long.cache_k.dtype
-        smallest = min(tr.buckets)
-        for pool in self.pools:
-            pool_choices = tuple(
-                b for b in self.prefill_batch_choices
-                if b <= max(1, len(pool.slots))
-            )
-            for bucket in tr.buckets:
-                for sb in self.suffix_buckets:
-                    if pool is self.short and self._pool_for(bucket, 1, sb) is not pool:
-                        continue  # short pool only hosts its feasible combos
-                    choices = (
-                        pool_choices
-                        if (full or bucket == smallest)
-                        else (1,)
-                    )
-                    for B in choices:
-                        mels = jnp.zeros((B, bucket, tr.mel_cfg.n_mels), dtype)
-                        self._dispatch_prefill_group(
-                            pool, mels,
-                            np.full((B,), bucket, np.int32),
-                            np.asarray(prompt.prefix_ids),
-                            suffix_arr(sb, B),
-                            np.full((B,), min(n_suffix, sb), np.int32),
-                            [pool.trash_slot] * B,
-                        )
-                        pool.compiled_prefill.add((bucket, sb, B))
-            for k in _DECODE_K_CHOICES:
-                self._dispatch_decode(pool, k)
-        if self.fuse_dual:
-            for k in _DUAL_K_CHOICES:
-                self._dispatch_decode_dual(k)
-        # VAD batch program: one jitted fn, but XLA compiles per batch bucket
+        def grid_choices(pool, ring: bool, is_smallest: bool, sb: int, pool_choices):
+            """Batch sizes to compile for one (pool, path, bucket, sb) cell.
+            Warmup wall time is per-program round-trip-bound on the tunnel,
+            so the default grid compiles only what the serving workload
+            dispatches; `full=True` compiles every pair."""
+            if full:
+                return pool_choices
+            if pool is self.short:
+                if ring and is_smallest:
+                    # the interim hot path: full ladder
+                    return pool_choices
+                # host-audio short prefills serve only ring-overflow
+                # sessions' interims; a small ladder suffices
+                return tuple(b for b in ((1, 4) if not ring else (1,))
+                             if b in pool_choices) or (1,)
+            if sb == self.suffix_buckets[0]:
+                # synchronized final/file waves admit in GROUPS: B=1-only
+                # prefill waves measured as the dominant committed-latency
+                # term (COMMIT_LATENCY_BENCH) — group ladder for the
+                # default-suffix long class at every bucket
+                return tuple(b for b in (1, 4, 8) if b in pool_choices)
+            return (1,)  # hotword-suffix finals are rare; B=1 only
+
         n_sub = 10240 // WINDOW_SAMPLES  # 640 ms gate window
         if self._vad_program is None or self._vad_n_sub != n_sub:
             self._vad_program = _make_vad_batch_program(self.vad, n_sub)
             self._vad_n_sub = n_sub
-        for B in _VAD_BATCH_BUCKETS:
-            self._vad_program(
-                self.vad.params,
-                jnp.zeros((B, n_sub, WINDOW_SAMPLES), jnp.float32),
-                self.vad.init_state(B),
-            )
+        from sonicscribe_tpu.engine.ring import (
+            _SCATTER_BUCKETS,
+            scatter_chunks_program,
+        )
 
-        # ---- ring-path programs ----
-        from sonicscribe_tpu.engine.ring import _SCATTER_BUCKETS, scatter_chunks_program
-
-        for M in _SCATTER_BUCKETS:
-            self.ring = scatter_chunks_program(
-                self.ring,
-                jnp.zeros((M, 1024), jnp.int16),
-                jnp.full((M,), self.trash_stream, jnp.int32),
-                jnp.zeros((M,), jnp.int32),
-            )
-        for B in _VAD_BATCH_BUCKETS:
-            _, self.vad_states = self._vad_ring_program(
-                self.ring, self.vad.params, self.vad_states,
-                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-                jnp.zeros((B,), bool),
-            )
+        dtype = self.long.cache_k.dtype
+        smallest = min(tr.buckets)
         smallest_cb = min(self.chunk_buckets)
-        for pool in self.pools:
-            pool_choices = tuple(
-                b for b in self.prefill_batch_choices
-                if b <= max(1, len(pool.slots))
-            )
-            for cb in self.chunk_buckets:
-                fb = cb * 1024 // 160  # frame bucket for this chunk bucket
-                for sb in self.suffix_buckets:
-                    if pool is self.short and self._pool_for(fb, 1, sb) is not pool:
-                        continue
-                    choices = (
-                        pool_choices
-                        if (full or cb == smallest_cb)
-                        else (1,)
+
+        def pass_over_grid(run) -> None:
+            """One full iteration of the program grid; `run(thunk)` either
+            executes it inline (dispatch pass) or submits it to the compile
+            pool (AOT pass, where each thunk only lowers+compiles)."""
+            for pool in self.pools:
+                pool_choices = tuple(
+                    b for b in self.prefill_batch_choices
+                    if b <= max(1, len(pool.slots))
+                )
+                for bucket in tr.buckets:
+                    for sb in self.suffix_buckets:
+                        if (
+                            pool is self.short
+                            and self._pool_for(bucket, 1, sb) is not pool
+                        ):
+                            continue  # short pool hosts only feasible combos
+                        for B in grid_choices(
+                            pool, False, bucket == smallest, sb, pool_choices
+                        ):
+                            def host_prefill(pool=pool, bucket=bucket, sb=sb, B=B, lower_only=False):
+                                mels = jnp.zeros(
+                                    (B, bucket, tr.mel_cfg.n_mels), dtype
+                                )
+                                self._dispatch_prefill_group(
+                                    pool, mels,
+                                    np.full((B,), bucket, np.int32),
+                                    np.asarray(prompt.prefix_ids),
+                                    suffix_arr(sb, B),
+                                    np.full((B,), min(n_suffix, sb), np.int32),
+                                    [pool.trash_slot] * B,
+                                    lower_only=lower_only,
+                                )
+                                pool.compiled_prefill.add((bucket, sb, B))
+
+                            run(host_prefill)
+                # the short pool's budgets never exceed short_budget, so its
+                # k ladder stops there — bigger programs would compile but
+                # never dispatch (_pick_k picks smallest k >= min remaining)
+                k_choices = (
+                    self.dual_k_choices
+                    if pool is self.short
+                    else _DECODE_K_CHOICES
+                )
+                for k in k_choices:
+                    run(lambda pool=pool, k=k, lower_only=False:
+                        self._dispatch_decode(pool, k, lower_only=lower_only))
+                for cb in self.chunk_buckets:
+                    fb = cb * 1024 // 160  # frame bucket for this chunk bucket
+                    for sb in self.suffix_buckets:
+                        if (
+                            pool is self.short
+                            and self._pool_for(fb, 1, sb) is not pool
+                        ):
+                            continue
+                        for B in grid_choices(
+                            pool, True, cb == smallest_cb, sb, pool_choices
+                        ):
+                            def ring_prefill(pool=pool, cb=cb, sb=sb, B=B, lower_only=False):
+                                self._dispatch_ring_prefill(
+                                    pool,
+                                    np.full((B,), self.trash_stream, np.int32),
+                                    np.zeros((B,), np.int32),
+                                    np.ones((B,), np.int32),
+                                    prompt.prefix_ids,
+                                    [pool.trash_slot] * B,
+                                    suffix_arr(sb, B),
+                                    np.full((B,), min(n_suffix, sb), np.int32),
+                                    cb,
+                                    lower_only=lower_only,
+                                )
+                                pool.compiled_ring_prefill.add((cb, sb, B))
+
+                            run(ring_prefill)
+            if self.fuse_dual:
+                for k in self.dual_k_choices:
+                    run(lambda k=k, lower_only=False:
+                        self._dispatch_decode_dual(k, lower_only=lower_only))
+            # VAD / scatter programs compile per batch bucket; their jitted
+            # fns are pure (no engine-state mutation needed for warmup), so
+            # the dispatch pass may discard results
+            for B in _VAD_BATCH_BUCKETS:
+                def vad_host(B=B, lower_only=False):
+                    a = (
+                        self.vad.params,
+                        jnp.zeros((B, n_sub, WINDOW_SAMPLES), jnp.float32),
+                        self.vad.init_state(B),
                     )
-                    for B in choices:
-                        self._dispatch_ring_prefill(
-                            pool,
-                            np.full((B,), self.trash_stream, np.int32),
-                            np.zeros((B,), np.int32),
-                            np.ones((B,), np.int32),
-                            prompt.prefix_ids,
-                            [pool.trash_slot] * B,
-                            suffix_arr(sb, B),
-                            np.full((B,), min(n_suffix, sb), np.int32),
-                            cb,
-                        )
-                        pool.compiled_ring_prefill.add((cb, sb, B))
-            # END-TO-END EXERCISE per pool: one real admit->decode->reap so
-            # every small utility op (bias row writes, status math, token
-            # fetch) is compiled too — on the remote AOT compiler even
-            # trivial first-use programs cost seconds, which would otherwise
-            # hit the first session.
+                    if lower_only:
+                        self._vad_program.lower(*a).compile()
+                    else:
+                        self._vad_program(*a)
+
+                run(vad_host)
+
+                def vad_ring(B=B, lower_only=False):
+                    a = (
+                        self.ring, self.vad.params, self.vad_states,
+                        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+                        jnp.zeros((B,), bool),
+                    )
+                    if lower_only:
+                        self._vad_ring_program.lower(*a).compile()
+                    else:
+                        self._vad_ring_program(*a)
+
+                run(vad_ring)
+            for M in _SCATTER_BUCKETS:
+                def scatter(M=M, lower_only=False):
+                    a = (
+                        self.ring,
+                        jnp.zeros((M, 1024), jnp.int16),
+                        jnp.full((M,), self.trash_stream, jnp.int32),
+                        jnp.zeros((M,), jnp.int32),
+                    )
+                    if lower_only:
+                        scatter_chunks_program.lower(*a).compile()
+                    else:
+                        # scatter donates the ring; keep the new handle
+                        self.ring = scatter_chunks_program(*a)
+
+                run(scatter)
+
+        phase_s: dict[str, float] = {}
+        t0 = time.perf_counter()
+
+        # ---- pass 1: AOT-compile the whole grid in parallel ----
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_jobs = 0
+        errors: list[Exception] = []
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            futures = []
+
+            def submit(thunk):
+                nonlocal n_jobs
+                n_jobs += 1
+                futures.append(ex.submit(thunk, lower_only=True))
+
+            pass_over_grid(submit)
+            for f in futures:
+                try:
+                    f.result()
+                except Exception as e:  # pragma: no cover - surface in pass 2
+                    errors.append(e)
+        if errors:
+            # pass 2 recompiles serially and raises with full context
+            logger.warning(
+                "%d/%d warmup AOT compiles failed (first: %s); "
+                "falling back to serial compile for those programs",
+                len(errors), n_jobs, errors[0],
+            )
+        phase_s["aot_parallel"] = round(time.perf_counter() - t0, 1)
+        t1 = time.perf_counter()
+
+        # ---- pass 2: replay as real dispatches (persistent-cache hits) ----
+        slowest: list[tuple[float, str]] = []
+
+        # SONIC_WARMUP_SYNC=1: drain the device queue after every program so
+        # warmup_slowest attributes true per-program cost (diagnostics only;
+        # dispatches are async on the tunnel backend, so by default the cost
+        # pools up in the final drain)
+        per_thunk_sync = bool(_os.environ.get("SONIC_WARMUP_SYNC"))
+
+        def replay(thunk):
+            t = time.perf_counter()
+            thunk()
+            if per_thunk_sync:
+                np.asarray(self.long.cache_len[:1])
+            dt = time.perf_counter() - t
+            slowest.append((round(dt, 2), getattr(thunk, "__name__", "?")))
+
+        pass_over_grid(replay)
+        np.asarray(self.long.cache_len[:1])  # drain the dispatch queue
+        self.stats["warmup_slowest"] = sorted(slowest, reverse=True)[:8]
+        phase_s["dispatch_replay"] = round(time.perf_counter() - t1, 1)
+        t2 = time.perf_counter()
+
+        # ---- END-TO-END EXERCISE per pool: one real admit->decode->reap so
+        # every small utility op (bias row writes, status math, token fetch)
+        # is compiled too — on the remote AOT compiler even trivial
+        # first-use programs cost seconds, which would otherwise hit the
+        # first session.
+        for pool in self.pools:
             base_row = (
                 jnp.zeros_like(pool.bias[0])
                 if self._base_bias is None
@@ -1018,10 +1190,13 @@ class BatchedEngine:
             pool.n_emitted = jnp.zeros_like(pool.n_emitted)
             pool.done = jnp.ones_like(pool.done)
             pool.budgets = jnp.zeros_like(pool.budgets)
-        # IMPORTANT: on the remote-tunnel TPU, block_until_ready does NOT wait
-        # (ops/compiles queue server-side; only transfers synchronize). A real
-        # transfer of the last dispatched op drains the whole compile queue.
+        # IMPORTANT: on the remote-tunnel TPU, block_until_ready does NOT
+        # wait (ops/compiles queue server-side; only transfers synchronize).
+        # A real transfer of the last dispatched op drains the queue.
         np.asarray(self.long.cache_len)
+        phase_s["e2e_exercise"] = round(time.perf_counter() - t2, 1)
+        self.stats["warmup_phase_s"] = phase_s
+        self.stats["warmup_programs"] = n_jobs
 
     # ---------------- device dispatch helpers ----------------
 
@@ -1066,17 +1241,9 @@ class BatchedEngine:
 
     def _dispatch_prefill_group(
         self, pool: _CachePool, mels, frames, prefix, suffixes, suffix_lens,
-        slot_list,
+        slot_list, lower_only: bool = False,
     ):
-        (
-            pool.cache_k,
-            pool.cache_v,
-            pool.cache_len,
-            pool.last_tok,
-            pool.out_tokens,
-            pool.n_emitted,
-            pool.done,
-        ) = _prefill_slots_program(
+        args = (
             self.transcriber.params,
             self.cfg,
             mels,
@@ -1095,16 +1262,25 @@ class BatchedEngine:
             pool.budgets,
             jnp.asarray(slot_list, jnp.int32),
         )
+        if lower_only:  # AOT compile for the parallel warmup pass
+            _prefill_slots_program.lower(*args).compile()
+            return
+        (
+            pool.cache_k,
+            pool.cache_v,
+            pool.cache_len,
+            pool.last_tok,
+            pool.out_tokens,
+            pool.n_emitted,
+            pool.done,
+        ) = _prefill_slots_program(*args)
 
     def _dispatch_ring_prefill(
         self, pool: _CachePool, stream_idx, start, count, prefix, slot_list,
-        suffixes, suffix_lens, n_chunks: int,
+        suffixes, suffix_lens, n_chunks: int, lower_only: bool = False,
     ):
         tr = self.transcriber
-        (
-            pool.cache_k, pool.cache_v, pool.cache_len, pool.last_tok,
-            pool.out_tokens, pool.n_emitted, pool.done,
-        ) = _prefill_ring_program(
+        args = (
             tr.params,
             self.cfg,
             tr.mel_cfg,
@@ -1119,21 +1295,18 @@ class BatchedEngine:
             jnp.asarray(slot_list, jnp.int32),
             jnp.asarray(suffixes),
             jnp.asarray(suffix_lens, jnp.int32),
-            n_chunks=n_chunks,
-            mel_dtype=self._mel_dtype(),
         )
-
-    def _dispatch_decode(self, pool: _CachePool, k: int):
+        kwargs = dict(n_chunks=n_chunks, mel_dtype=self._mel_dtype())
+        if lower_only:
+            _prefill_ring_program.lower(*args, **kwargs).compile()
+            return
         (
-            pool.cache_k,
-            pool.cache_v,
-            pool.cache_len,
-            pool.last_tok,
-            pool.out_tokens,
-            pool.n_emitted,
-            pool.done,
-            status,
-        ) = _decode_k_program(
+            pool.cache_k, pool.cache_v, pool.cache_len, pool.last_tok,
+            pool.out_tokens, pool.n_emitted, pool.done,
+        ) = _prefill_ring_program(*args, **kwargs)
+
+    def _dispatch_decode(self, pool: _CachePool, k: int, lower_only: bool = False):
+        args = (
             self.transcriber.params,
             self.cfg,
             pool.cache_k,
@@ -1148,18 +1321,26 @@ class BatchedEngine:
             k,
             self.use_flash,
         )
+        if lower_only:
+            _decode_k_program.lower(*args).compile()
+            return None
+        (
+            pool.cache_k,
+            pool.cache_v,
+            pool.cache_len,
+            pool.last_tok,
+            pool.out_tokens,
+            pool.n_emitted,
+            pool.done,
+            status,
+        ) = _decode_k_program(*args)
         return status
 
-    def _dispatch_decode_dual(self, k: int):
+    def _dispatch_decode_dual(self, k: int, lower_only: bool = False):
         """K steps for BOTH pools in one program (weights stream once).
         Returns (status_short, status_long) device handles."""
         a, b = self.short, self.long
-        (
-            a.cache_k, a.cache_v, a.cache_len, a.last_tok,
-            a.out_tokens, a.n_emitted, a.done, status_a,
-            b.cache_k, b.cache_v, b.cache_len, b.last_tok,
-            b.out_tokens, b.n_emitted, b.done, status_b,
-        ) = _decode_k_dual_program(
+        args = (
             self.transcriber.params,
             self.cfg,
             a.cache_k, a.cache_v, a.cache_len, a.last_tok,
@@ -1168,6 +1349,15 @@ class BatchedEngine:
             b.out_tokens, b.n_emitted, b.done, b.bias, b.budgets,
             k,
         )
+        if lower_only:
+            _decode_k_dual_program.lower(*args).compile()
+            return None, None
+        (
+            a.cache_k, a.cache_v, a.cache_len, a.last_tok,
+            a.out_tokens, a.n_emitted, a.done, status_a,
+            b.cache_k, b.cache_v, b.cache_len, b.last_tok,
+            b.out_tokens, b.n_emitted, b.done, status_b,
+        ) = _decode_k_dual_program(*args)
         return status_a, status_b
 
     # ---------------- scheduler ----------------
@@ -1593,7 +1783,9 @@ class BatchedEngine:
                     )
             return
 
+        t_admit = time.perf_counter()
         for req, slot_idx in zip(items, slot_list):
+            req.t_admit = t_admit
             st = pool.slots[slot_idx]
             st.request = req
             st.budget = req.max_new_tokens
@@ -1741,7 +1933,9 @@ class BatchedEngine:
                     )
             return
 
+        t_admit = time.perf_counter()
         for (req, prep), slot_idx in zip(items, slot_list):
+            req.t_admit = t_admit
             st = pool.slots[slot_idx]
             st.request = req
             st.budget = req.max_new_tokens
@@ -1781,7 +1975,17 @@ class BatchedEngine:
             # file job whose segments overflow the slot pool keeps the
             # backlog non-empty, and the pending cap (16) alone would defeat
             # the tuned long cap exactly in that scenario.
-            cap = self.live_k_cap if pool is self.short else self.long_live_k_cap
+            if pool is self.short:
+                cap = self.live_k_cap
+            elif self.short.n_active == 0:
+                # short pool idle this tick: finals may run a bigger k — an
+                # interim arriving mid-program waits at most k steps, and
+                # with no interims in flight the odds one arrives are the
+                # same as ever but the committed path gains k/long_live_k
+                # fewer ticks per final (COMMIT_LATENCY_BENCH A/B)
+                cap = self.long_idle_k_cap
+            else:
+                cap = self.long_live_k_cap
             k = min(k, cap)
         return k
 
@@ -1809,7 +2013,9 @@ class BatchedEngine:
             # no extra weight-bandwidth cost (its done slots freeze on
             # device). min() over both pools would let a nearly-done long
             # slot throttle k to 1 and stretch an interim across many ticks.
-            k = self._pick_k(self.short)
+            # Clamped to the compiled grid so a drifted short_budget can
+            # never trigger a mid-serving JIT compile (multi-second stall).
+            k = min(self._pick_k(self.short), self.dual_k_choices[-1])
             status_a, status_b = self._dispatch_decode_dual(k)
             self.stats["dual_decodes"] = self.stats.get("dual_decodes", 0) + 1
             self._park(self.short, status_a, k, parked)
@@ -1855,13 +2061,30 @@ class BatchedEngine:
             duration = req.duration_s
         else:
             duration = len(req.audio) / req.sample_rate
-        dt = time.perf_counter() - req.t_enqueue
+        now = time.perf_counter()
+        dt = now - req.t_enqueue
+        # latency decomposition (COMMIT_LATENCY_BENCH): queue = enqueue ->
+        # prefill dispatch (admission wait), run = prefill dispatch -> reap
+        # (device prefill + decode ticks + one-tick reap delay)
+        queue_s = max(0.0, req.t_admit - req.t_enqueue) if req.t_admit else 0.0
         result = TranscribeResult(
             text=text,
             tokens=np.asarray(out, np.int32),
             audio_duration_s=duration,
-            timings={"total_s": dt, "rtf": dt / max(duration, 1e-6)},
+            timings={
+                "total_s": dt,
+                "rtf": dt / max(duration, 1e-6),
+                "queue_s": queue_s,
+                "run_s": dt - queue_s,
+            },
         )
+        lat = self.stats.setdefault(
+            pool.name + "_lat_ms", {"queue": [], "run": [], "tokens": []}
+        )
+        if len(lat["queue"]) < 4000:  # bounded; enough for a bench window
+            lat["queue"].append(round(queue_s * 1e3, 1))
+            lat["run"].append(round((dt - queue_s) * 1e3, 1))
+            lat["tokens"].append(n_tokens)
         st.active = False
         st.request = None
         if not req.future.done():

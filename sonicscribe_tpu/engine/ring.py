@@ -38,7 +38,9 @@ from sonicscribe_tpu.vad.model import WINDOW_SAMPLES
 RING_CHUNKS = 512  # power of two; 512 x 64 ms = 32.7 s
 CHUNK_SAMPLES = 1024
 
-_SCATTER_BUCKETS = (8, 16, 32, 64, 128, 256)
+_SCATTER_BUCKETS = (8, 32, 128, 256)  # coarse: padding chunks cost 2 KB of
+# upload each (a few ms worst case per tick) vs one compiled program per
+# bucket at cold start — warmup is per-program round-trip-bound
 
 
 @partial(jax.jit, donate_argnums=(0,))

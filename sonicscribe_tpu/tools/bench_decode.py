@@ -1,11 +1,12 @@
 """A/B microbench: decode_step KV-write placement (read-only-scan vs in-scan).
 
 Decode is HBM-bandwidth-bound (reference decode loop: backend/asr.py:407-422).
-The in-scan form scatters the current token into the cache inside the layer
-scan and re-emits the whole cache as scan ys — if XLA cannot alias xs->ys,
-every step rewrites the ENTIRE padded KV cache to HBM. The read-only form
-(models/glm_asr.py:decode_step default) emits only the new rows and scatters
-once after the scan.
+The in-scan form (models/glm_asr.py:decode_step default, kv_write_in_scan=
+True — this bench measured it ~5% faster: XLA aliases the scan buffers, so
+the feared full-cache rewrite does not happen) scatters the current token
+into the cache inside the layer scan and re-emits the whole cache as scan
+ys. The read-only alternative emits only the new rows and scatters once
+after the scan; it is kept behind the knob for re-benchmarking.
 
 Run on the real chip:  python -m sonicscribe_tpu.tools.bench_decode
 Writes DECODE_STEP_BENCH.json at the repo root.

@@ -183,11 +183,18 @@ class TestPickK:
             slot.active = True
             slot.budget = 64
             slot.steps_seen = 0
+            # with an interim in flight the strict live cap applies...
+            short_slot = eng.short.slots[0]
+            short_slot.active = True
             assert eng._pick_k(eng.long) <= eng.long_live_k_cap  # no backlog
             eng._host_backlog.append(object())  # sustained backlog
             assert eng._pick_k(eng.long) <= eng.long_live_k_cap
-            slot.active = False
             eng._host_backlog.clear()
+            # ...and with the short pool idle the long pool may take the
+            # bigger idle cap (finals ride the silence phase), but no more
+            short_slot.active = False
+            assert eng.long_live_k_cap < eng._pick_k(eng.long) <= eng.long_idle_k_cap
+            slot.active = False
             eng.free_stream(s)
         finally:
             eng.shutdown()

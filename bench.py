@@ -146,6 +146,24 @@ def main():
         from sonicscribe_tpu.config import AppConfig
         from sonicscribe_tpu.tools.loadtest import run_load
 
+        def make_stream_vad():
+            """The headline bench prices the REAL gate by default (VERDICT
+            r2 item 3): converted Silero weights when available, else the
+            cost-probe (full Silero v5 forward for device cost, EnergyVad
+            decisions so the synthetic cycles segment correctly).
+            --energy-vad is the DSP-gate escape hatch."""
+            if "--energy-vad" in sys.argv:
+                return EnergyVad(), "energy"
+            w = os.environ.get("SILERO_WEIGHTS", "")
+            if w and os.path.exists(w):
+                from sonicscribe_tpu.tools.convert_silero import load_npz
+                from sonicscribe_tpu.vad.model import SileroVad
+
+                return SileroVad(params=load_npz(w)), "silero-converted"
+            from sonicscribe_tpu.vad.model import SileroCostProbeVad
+
+            return SileroCostProbeVad(), "silero-cost-probe"
+
         def stream_run(stream_params, suffix):
             """One 50-stream realtime load; suffix tags the metric names."""
             n_streams = 4 if quick else 50
@@ -160,8 +178,9 @@ def main():
             # (a slots=n_streams variant measured no committed-latency win —
             # finals are bounded by ticks-per-final, not slot waves — and a
             # worse interim tail; 32 is the balanced size)
+            vad, vad_kind = make_stream_vad()
             s_engine = BatchedEngine(
-                tr_s, EnergyVad(), slots=4 if quick else 32,
+                tr_s, vad, slots=4 if quick else 32,
                 max_decode_tokens=200, base_logit_bias=no_eos,
             )
             t_w = time.perf_counter()
@@ -179,12 +198,16 @@ def main():
             loop2.close()
             return {
                 "realtime_streams": n_streams,
+                "stream_vad": vad_kind,
                 f"stream_interim_p50_ms{suffix}": m["interim_p50_ms"],
                 f"stream_interim_p95_ms{suffix}": m["interim_p95_ms"],
                 f"stream_committed{suffix}": m["committed_count"],
                 f"stream_committed_p50_ms{suffix}": m.get("committed_p50_ms"),
                 f"stream_ingest_lag_s{suffix}": m.get("max_ingest_lag_s"),
                 f"stream_warmup_s{suffix}": round(warmup_s, 1),
+                f"stream_warmup_phases{suffix}": s_engine.stats.get(
+                    "warmup_phase_s"
+                ),
             }
 
         try:

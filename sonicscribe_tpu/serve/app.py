@@ -625,10 +625,11 @@ def main(argv=None):
     )
     parser.add_argument(
         "--warmup-full", action="store_true",
-        help="compile every (mel bucket, batch size) prefill pair, not just "
-             "the interim bucket's batch sizes — file uploads at big buckets "
-             "then prefill in groups instead of one-at-a-time (production "
-             "servers; slower first warmup, cached afterwards)",
+        help="compile every (mel bucket, batch size) prefill pair. The "
+             "default grid already covers the serving workload (interim "
+             "ladder + {1,4,8} final/file groups per bucket); full adds the "
+             "remaining pairs, e.g. hotword-suffix group prefills (slower "
+             "first warmup, cached afterwards)",
     )
     args = parser.parse_args(argv)
 

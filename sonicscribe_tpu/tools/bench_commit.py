@@ -57,7 +57,7 @@ def main() -> None:
     from sonicscribe_tpu.models.glm_asr import init_params
     from sonicscribe_tpu.models.tokenizer import ByteTokenizer
     from sonicscribe_tpu.tools.loadtest import run_load
-    from sonicscribe_tpu.vad.model import EnergyVad
+    from sonicscribe_tpu.vad.model import SileroCostProbeVad
 
     quick = "--quick" in sys.argv
     cfg = tiny() if quick else nano()
@@ -69,8 +69,9 @@ def main() -> None:
     no_eos[cfg.pad_id] = -1e9  # worst case: every decode runs its budget
 
     tr = Transcriber(cfg, params, tokenizer, prefill_buckets=(128, 512))
+    # production-shaped gate: full Silero forward cost, EnergyVad decisions
     engine = BatchedEngine(
-        tr, EnergyVad(), slots=4 if quick else 32,
+        tr, SileroCostProbeVad(), slots=4 if quick else 32,
         max_decode_tokens=200, base_logit_bias=no_eos,
     )
     t0 = time.perf_counter()

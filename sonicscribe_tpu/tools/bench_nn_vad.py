@@ -23,31 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sonicscribe_tpu.vad.model import EnergyVad, SileroVad
-
-
-class SileroCostProbeVad:
-    """Runs SileroVad.forward for its cost; gates with EnergyVad's output."""
-
-    window_samples = EnergyVad.window_samples
-
-    def __init__(self):
-        self.nn = SileroVad()
-        self.energy = EnergyVad()
-        self.params = {"nn": self.nn.params}
-
-    def init_state(self, batch: int):
-        return {
-            "nn": self.nn.init_state(batch),
-            "energy": self.energy.init_state(batch),
-        }
-
-    def forward(self, params, windows, state):
-        nn_probs, nn_state = self.nn.forward(params["nn"], windows, state["nn"])
-        e_probs, e_state = self.energy.forward(None, windows, state["energy"])
-        # keep the NN output in the graph so XLA cannot elide its cost
-        probs = e_probs + 0.0 * nn_probs
-        return probs, {"nn": nn_state, "energy": e_state}
+from sonicscribe_tpu.vad.model import SileroCostProbeVad
 
 
 def main() -> None:

@@ -252,6 +252,40 @@ class EnergyVad:
         return prob, {"noise": new_noise, "init": jnp.ones((B,), bool)}
 
 
+class SileroCostProbeVad:
+    """Runs SileroVad.forward for its device cost; gates with EnergyVad's
+    functional output.
+
+    Purpose: checkpoint-free benchmarking of the NN gate (this environment
+    cannot fetch Silero weights, and random-init probabilities would break
+    segmentation semantics). The measured serving latency includes the
+    Silero v5 forward exactly as a converted checkpoint would incur it;
+    decisions come from the deterministic EnergyVad so the load harness's
+    speech/silence cycles segment correctly. bench.py uses this as the
+    DEFAULT stream-bench gate (VERDICT r2 item 3); with real converted
+    weights, pass them to SileroVad instead."""
+
+    window_samples = WINDOW_SAMPLES
+
+    def __init__(self):
+        self.nn = SileroVad()
+        self.energy = EnergyVad()
+        self.params = {"nn": self.nn.params}
+
+    def init_state(self, batch: int):
+        return {
+            "nn": self.nn.init_state(batch),
+            "energy": self.energy.init_state(batch),
+        }
+
+    def forward(self, params, windows, state):
+        nn_probs, nn_state = self.nn.forward(params["nn"], windows, state["nn"])
+        e_probs, e_state = self.energy.forward(None, windows, state["energy"])
+        # keep the NN output in the graph so XLA cannot elide its cost
+        probs = e_probs + 0.0 * nn_probs
+        return probs, {"nn": nn_state, "energy": e_state}
+
+
 def window_probs(vad, audio: np.ndarray) -> np.ndarray:
     """Convenience: run a whole mono 16 kHz signal through `vad`, one stream.
     Returns per-512-sample-window probabilities [ceil(N/512)]."""

@@ -200,6 +200,54 @@ class TestPickK:
             eng.shutdown()
 
 
+class TestGroupedFinalPrefill:
+    def test_final_wave_admits_as_one_group(self, stack):
+        """A synchronized wave of finals at a big chunk bucket must admit
+        through ONE grouped prefill program when the group size is compiled
+        (COMMIT_LATENCY_BENCH lever: B=1 prefill waves were the dominant
+        committed-latency term), token-identical to solo requests."""
+        import time as _time
+
+        from sonicscribe_tpu.engine.batcher import _RingTranscribeReq
+
+        cfg, tr = stack
+
+        async def go():
+            eng = BatchedEngine(
+                tr, EnergyVad(), slots=8, max_decode_tokens=64, n_streams=8
+            )
+            try:
+                big_cb = max(eng.chunk_buckets)
+                sb0 = eng.suffix_buckets[0]
+                # what default warmup registers for the long pool (grid_choices)
+                eng.long.compiled_ring_prefill.update(
+                    {(big_cb, sb0, 4), (big_cb, sb0, 8)}
+                )
+                await eng.start()
+                loop = asyncio.get_running_loop()
+                futs = []
+                for s in [eng.alloc_stream() for _ in range(8)]:
+                    fut = loop.create_future()
+                    await eng._ring_requests.put(
+                        _RingTranscribeReq(
+                            s, 0, big_cb, 20, None, 1.0, fut, _time.perf_counter()
+                        )
+                    )
+                    futs.append(fut)
+                eng._wake.set()
+                results = await asyncio.gather(*futs)
+                return [r.tokens for r in results], dict(eng.stats)
+            finally:
+                eng.shutdown()
+
+        tokens, stats = _run(go())
+        assert stats["prefills"] == 8
+        assert stats["prefill_programs"] == 1  # one B=8 program, not 8x B=1
+        # all 8 decoded rows are real results (same ring content -> same tokens)
+        for t in tokens[1:]:
+            np.testing.assert_array_equal(t, tokens[0])
+
+
 class TestVadBurstOver64:
     def test_ring_vad_burst_over_largest_bucket(self, stack):
         """A lockstep gate-window burst from >64 streams must split across

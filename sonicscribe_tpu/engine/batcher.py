@@ -672,9 +672,13 @@ class BatchedEngine:
 
         # (bucket, B) prefill-program sizes compiled at warmup; groups are
         # split to compiled sizes at runtime so no request ever pays a
-        # surprise multi-second XLA compile
+        # surprise multi-second XLA compile. The ladder extends to 32 for
+        # big stream counts: at 100 synchronized streams an interim wave
+        # split into B<=16 programs was prefill-serialization-bound
+        # (SCALE_BENCH r2: p50 321 ms; the wave is one VAD burst, so most
+        # of it sits in the backlog of a single tick)
         self.prefill_batch_choices = tuple(
-            b for b in (1, 2, 4, 8, 16) if b <= max(1, slots, n_streams)
+            b for b in (1, 2, 4, 8, 16, 32) if b <= max(1, slots, n_streams)
         )
 
         self._vad_program = None

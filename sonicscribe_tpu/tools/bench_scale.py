@@ -41,7 +41,7 @@ def main():
     from sonicscribe_tpu.models.glm_asr import init_params
     from sonicscribe_tpu.models.tokenizer import ByteTokenizer
     from sonicscribe_tpu.tools.loadtest import run_load
-    from sonicscribe_tpu.vad.model import EnergyVad
+    from sonicscribe_tpu.vad.model import EnergyVad, SileroCostProbeVad
 
     cfg = nano()
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -102,7 +102,7 @@ def main():
         n_streams = 100
         tr_s = Transcriber(cfg, params, tokenizer, prefill_buckets=(128, 512))
         s_engine = BatchedEngine(
-            tr_s, EnergyVad(), slots=64, max_decode_tokens=200,
+            tr_s, SileroCostProbeVad(), slots=64, max_decode_tokens=200,
             n_streams=128, base_logit_bias=no_eos,
         )
         t_w = time.perf_counter()
@@ -123,6 +123,7 @@ def main():
                 "stream100_interim_p50_ms": m["interim_p50_ms"],
                 "stream100_interim_p95_ms": m["interim_p95_ms"],
                 "stream100_committed": m["committed_count"],
+                "stream100_committed_p50_ms": m.get("committed_p50_ms"),
                 "stream100_ingest_lag_s": m["max_ingest_lag_s"],
             }
         )

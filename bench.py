@@ -194,6 +194,14 @@ def main():
             m = loop2.run_until_complete(
                 run_load(s_engine, app_cfg, n_streams, 12.0, realtime=True)
             )
+            # committed latency on the utterance-realistic cycle (the
+            # default 2.0/1.5 cycle's drifting phase produces ~16 s
+            # segments with 130-token finals — the worst case; 2.56 s of
+            # silence ends every 2 s utterance at ~70-token budgets)
+            mu = loop2.run_until_complete(
+                run_load(s_engine, app_cfg, n_streams, 12.0, realtime=True,
+                         silence_s=2.56)
+            )
             s_engine.shutdown()
             loop2.close()
             return {
@@ -203,6 +211,12 @@ def main():
                 f"stream_interim_p95_ms{suffix}": m["interim_p95_ms"],
                 f"stream_committed{suffix}": m["committed_count"],
                 f"stream_committed_p50_ms{suffix}": m.get("committed_p50_ms"),
+                f"stream_committed_utterance_p50_ms{suffix}": mu.get(
+                    "committed_p50_ms"
+                ),
+                f"stream_committed_utterance_p95_ms{suffix}": mu.get(
+                    "committed_p95_ms"
+                ),
                 f"stream_ingest_lag_s{suffix}": m.get("max_ingest_lag_s"),
                 f"stream_warmup_s{suffix}": round(warmup_s, 1),
                 f"stream_warmup_phases{suffix}": s_engine.stats.get(

@@ -721,6 +721,9 @@ class BatchedEngine:
         # overflow requests a full pool couldn't admit this tick
         self._ring_backlog: list[_RingTranscribeReq] = []
         self._host_backlog: list[_TranscribeReq] = []
+        # True while any backlogged request routes to the SHORT pool (keeps
+        # the long pool's pending-k exception honest, see _pick_k)
+        self._backlog_has_short = False
         self.stats = {"ticks": 0, "decode_steps": 0, "prefills": 0, "vad_batches": 0}
         # decode-k caps: a mid-tick arrival waits for the in-flight program,
         # so these bound queueing latency (tuned on-chip; see bench history)
@@ -734,10 +737,13 @@ class BatchedEngine:
         # the expected concurrent finals.
         self.long_live_k_cap = 8
         # ...but when the SHORT pool is idle this tick (no interims in
-        # flight), the long pool may take a bigger k: tuned on chip via
-        # COMMIT_LATENCY_BENCH (speech/silence cycles synchronize finals
-        # into the silence phase, exactly when no interims compete)
-        self.long_idle_k_cap = 16
+        # flight), the long pool may take a bigger k — and skip the pending
+        # cap when nothing short-class waits (see _pick_k). Tuned on chip
+        # via COMMIT_LATENCY_BENCH round 2: k32 beat k16 (committed p50
+        # 1236 vs 1426 ms) and k64 added nothing; interim p95 was UNHARMED
+        # (245.8 ms) because the escalation only fires when nobody is
+        # mid-interim.
+        self.long_idle_k_cap = 32
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots
 
@@ -1670,6 +1676,7 @@ class BatchedEngine:
         fits each pool's free slots, carry the overflow to the next tick.
         Latency-priority: short-budget (interim) requests first."""
         free = {id(p): p.free for p in self.pools}
+        self._backlog_has_short = False
         if self._ring_backlog:
             keep: list[_RingTranscribeReq] = []
             take: dict[int, list[_RingTranscribeReq]] = {}
@@ -1684,6 +1691,8 @@ class BatchedEngine:
                     take.setdefault(id(pool), []).append(req)
                 else:
                     keep.append(req)
+                    if pool is self.short:
+                        self._backlog_has_short = True
             self._ring_backlog = keep
             for pool in self.pools:
                 items = take.get(id(pool))
@@ -1709,6 +1718,8 @@ class BatchedEngine:
                     take_h.setdefault(id(pool), []).append(req)
                 else:
                     keep_h.append(req)
+                    if pool is self.short:
+                        self._backlog_has_short = True
             self._host_backlog = keep_h
             for pool in self.pools:
                 items_h = take_h.get(id(pool))
@@ -1966,6 +1977,17 @@ class BatchedEngine:
             or not self._ring_requests.empty()
             or not self._vad_ring_requests.empty()
             or not self._vad_requests.empty()
+        ) and not (
+            # EXCEPTION (COMMIT_LATENCY_BENCH): with the short pool idle and
+            # nothing short-class waiting, the pending items are long-class
+            # finals (bounded by their own multi-tick decode, which a larger
+            # k SPEEDS UP) and VAD gate probes — and with no interim in
+            # flight the streams are in their silence phase, where a
+            # k-program-delayed gate decision costs nothing (speech starts
+            # are backdated to the window's first chunk anyway)
+            pool is self.long
+            and self.short.n_active == 0
+            and not self._backlog_has_short
         ):
             k = min(k, self.pending_k_cap)
         if len(self._free_streams) < self.N_STREAMS:

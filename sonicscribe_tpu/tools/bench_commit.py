@@ -109,12 +109,14 @@ def main() -> None:
 
     loop = asyncio.new_event_loop()
     results = []
+    # round 2 of the A/B (after the pending-k exception landed: a long-only
+    # backlog with the short pool idle no longer clips k to pending_k_cap —
+    # gate probes during the silence phase tolerate a k-program delay)
     variants = [
         ("baseline_r2", 8, False),  # r2 shipped: flat k cap 8, B=1 prefills
-        ("idle_k16", 16, False),
-        ("group_prefill", 8, True),
         ("combined_k16", 16, True),
         ("combined_k32", 32, True),
+        ("combined_k64", 64, True),
     ]
     for name, idle_k, group in variants:
         set_variant(idle_k, group)
@@ -140,6 +142,35 @@ def main() -> None:
         }
         results.append(entry)
         print(json.dumps(entry))
+
+    # utterance-realistic workload at the chosen defaults: 2.56 s of
+    # silence fits 4 full gate windows, so EVERY 2 s utterance ends and
+    # finals carry the product-typical ~70-token budget (the default cycle
+    # produces drifting-phase ~16 s segments / 130-token finals — the
+    # worst case; see loadtest.make_stream_audio)
+    set_variant(32, True)
+    loop.run_until_complete(
+        run_load(engine, app_cfg, n_streams, max(4.0, seconds / 2),
+                 realtime=True, silence_s=2.56)
+    )
+    engine.stats.pop("short_lat_ms", None)
+    engine.stats.pop("long_lat_ms", None)
+    m = loop.run_until_complete(
+        run_load(engine, app_cfg, n_streams, seconds, realtime=True,
+                 silence_s=2.56)
+    )
+    utterance = {
+        "variant": "utterance_workload_k32_group",
+        "cycle": "2.0s speech / 2.56s silence (every utterance ends)",
+        "interim_p50_ms": m["interim_p50_ms"],
+        "interim_p95_ms": m["interim_p95_ms"],
+        "committed_count": m["committed_count"],
+        "committed_p50_ms": m["committed_p50_ms"],
+        "committed_p95_ms": m["committed_p95_ms"],
+        "decomposition": take_decomposition(),
+    }
+    results.append(utterance)
+    print(json.dumps(utterance))
     engine.shutdown()
     loop.close()
 

@@ -31,13 +31,22 @@ CHUNK_SAMPLES = 1024
 CHUNK_BYTES = 2048
 
 
-def make_stream_audio(total_s: float, seed: int) -> bytes:
-    """Speech/silence cycles: 2.0 s speech, 1.5 s silence, repeated."""
+def make_stream_audio(
+    total_s: float, seed: int, speech_s: float = 2.0, silence_s: float = 1.5
+) -> bytes:
+    """Speech/silence cycles, default 2.0 s speech / 1.5 s silence.
+
+    NOTE on the default cycle: 1.5 s of silence fits TWO full 640 ms gate
+    windows only at favorable phase, and the 3.5 s cycle is not a multiple
+    of the window, so the phase drifts — segments often span several cycles
+    (~16 s, 130-token finals). That makes the default the WORST-CASE
+    committed-latency workload. For utterance-realistic finals pass
+    silence_s >= 2.56 (4 full windows: every utterance ends)."""
     rng = np.random.default_rng(seed)
     out = []
     t_done = 0.0
     while t_done < total_s:
-        for kind, sec in (("speech", 2.0), ("silence", 1.5)):
+        for kind, sec in (("speech", speech_s), ("silence", silence_s)):
             n = int(SR * sec)
             t = np.arange(n) / SR
             if kind == "speech":
@@ -59,6 +68,8 @@ async def run_load(
     n_streams: int,
     seconds: float,
     realtime: bool = True,
+    speech_s: float = 2.0,
+    silence_s: float = 1.5,
 ) -> dict:
     """-> metrics dict. `engine` must expose the async engine interface."""
     interim_lat: list[float] = []
@@ -85,7 +96,10 @@ async def run_load(
         s = StreamSession(f"load{i}", config, engine, send, clock=clock)
         sessions.append(s)
 
-    audio = [make_stream_audio(seconds, seed=i) for i in range(n_streams)]
+    audio = [
+        make_stream_audio(seconds, seed=i, speech_s=speech_s, silence_s=silence_s)
+        for i in range(n_streams)
+    ]
     n_chunks = int(seconds * 1000 / config.audio_chunk_duration_ms)
     chunk_period = config.audio_chunk_duration_ms / 1000.0
 

@@ -194,6 +194,16 @@ class TestPickK:
             # bigger idle cap (finals ride the silence phase), but no more
             short_slot.active = False
             assert eng.long_live_k_cap < eng._pick_k(eng.long) <= eng.long_idle_k_cap
+            # the pending cap is ALSO skipped when the only waiting work is
+            # long-class (it is sped up, not delayed, by a bigger k)...
+            eng._host_backlog.append(object())
+            eng._backlog_has_short = False
+            assert eng._pick_k(eng.long) > eng.pending_k_cap
+            # ...but not when a short-class request waits
+            eng._backlog_has_short = True
+            assert eng._pick_k(eng.long) <= eng.pending_k_cap
+            eng._backlog_has_short = False
+            eng._host_backlog.clear()
             slot.active = False
             eng.free_stream(s)
         finally:

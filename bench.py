@@ -102,7 +102,11 @@ def main():
     from sonicscribe_tpu.engine.batcher import BatchedEngine
     from sonicscribe_tpu.vad.model import EnergyVad
 
-    n_seg = 2 if quick else 8
+    # 16 in-flight segments (a ~5.5 min upload): decode is weight-bandwidth
+    # bound, so RTF amortizes with in-flight rows — r2 measured 0.0104 at 8
+    # and 0.0065 at 24 (SCALE_BENCH); 16 balances a realistic upload size
+    # against slot-pool HBM (~1.2 GB of KV at nano)
+    n_seg = 2 if quick else 16
     seg_bucket = interim_bucket if quick else 2048  # 20.48 s
     seg_seconds = seg_bucket * 160 / sr
     tr_b = Transcriber(cfg, params, tokenizer, prefill_buckets=(seg_bucket,))

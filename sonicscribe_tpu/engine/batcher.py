@@ -1511,6 +1511,11 @@ class BatchedEngine:
             if self._pending_results is not None and self._any_pool_starved():
                 self._resolve_pending()
             self._admit_backlogs()
+        else:
+            # no waiting work: clear the stale routing flag so the long
+            # pool's pending-cap exception (_pick_k) isn't suppressed by a
+            # short-class wait that has since been admitted
+            self._backlog_has_short = False
 
         # 3) decode K steps per pool (dispatch only). If every active slot
         # has provably exhausted its budget (the device is surely done),

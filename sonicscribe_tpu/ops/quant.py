@@ -69,8 +69,20 @@ def matmul(x: jnp.ndarray, w: ArrayOrQ) -> jnp.ndarray:
     return x @ w
 
 
-def quantize_params_int8(params: dict) -> dict:
-    """Quantize a GLM-ASR parameter tree in place (returns a new tree)."""
+def quantize_params_int8(params: dict, decoder_only: bool = False) -> dict:
+    """Quantize a GLM-ASR parameter tree (returns a new tree).
+
+    decoder_only=True quantizes ONLY the decoder projections ("int8-decoder"
+    mode). Rationale, measured on the v5e: weight-only int8 pays off where a
+    program is weight-bandwidth-bound — the autoregressive DECODE (202 ->
+    306 tok/s single-stream). The ENCODER prefill is MXU-compute-bound, and
+    the on-the-fly dequant makes int8 prefill strictly slower, which is why
+    full int8 improves interim latency but REGRESSES committed/file latency
+    whenever prefill waves dominate (BENCH_r02 stream_committed 1669 ->
+    1723 ms; SCALE_BENCH stream100 committed 2001 -> 2469 ms). The mixed
+    mode keeps bf16 prefill speed with int8 decode bandwidth. (The
+    reference's bitsandbytes path quantizes every linear, asr.py:174-208 —
+    `int8` mode keeps that parity.)"""
 
     def walk(node):
         if isinstance(node, dict):
@@ -85,4 +97,8 @@ def quantize_params_int8(params: dict) -> dict:
             return [walk(v) for v in node]
         return node
 
+    if decoder_only:
+        out = dict(params)
+        out["decoder"] = walk(params["decoder"])
+        return out
     return walk(params)

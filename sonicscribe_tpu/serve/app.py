@@ -545,10 +545,15 @@ def build_runtime(
         mcfg, params, tokenizer = load_checkpoint(model_spec)
         buckets = tuple(config.prefill_buckets)
 
-    if config.quant_mode == "int8":
+    if config.quant_mode in ("int8", "int8-decoder"):
         from sonicscribe_tpu.ops.quant import quantize_params_int8
 
-        params = quantize_params_int8(params)
+        # int8-decoder: decode-only quantization — bf16 prefill speed with
+        # int8 decode bandwidth (see quantize_params_int8 for the measured
+        # rationale); plain int8 keeps reference skip-list parity
+        params = quantize_params_int8(
+            params, decoder_only=config.quant_mode == "int8-decoder"
+        )
 
     transcriber = Transcriber(mcfg, params, tokenizer, prefill_buckets=buckets)
     if vad_spec == "energy":
@@ -618,7 +623,14 @@ def main(argv=None):
         "--engine", default="batched", choices=("batched", "threaded"),
         help="continuous batcher (default) or single-threaded engine",
     )
-    parser.add_argument("--quant", default=None, help="'native' | 'int8'")
+    parser.add_argument(
+        "--quant", default=None, help="'native' | 'int8' | 'int8-decoder'"
+    )
+    parser.add_argument(
+        "--platform", default=None,
+        help="force a JAX platform before device init (e.g. 'cpu' for "
+             "development boxes without an accelerator)",
+    )
     parser.add_argument(
         "--no-warmup", action="store_true",
         help="skip startup compilation of the (bucket, budget) program grid",
@@ -637,6 +649,8 @@ def main(argv=None):
     # on every restart after the first
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.sonicscribe_jax_cache")),

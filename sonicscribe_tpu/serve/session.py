@@ -329,7 +329,7 @@ class StreamSession:
         }
 
     async def flush(self) -> None:
-        """Finalize an open segment (used on close)."""
+        """Finalize an open segment and drain in-flight decodes (on close)."""
         try:
             await asyncio.wait_for(self.flush_vad(), timeout=5.0)
         except asyncio.TimeoutError:
@@ -338,6 +338,12 @@ class StreamSession:
             seg = self.buffer.finalize_segment(self.buffer.newest_chunk_id)
             if seg is not None:
                 await self._commit_segment(seg)
+        # a commit spawned by the gate moments before the close is still
+        # decoding in a background task; cleanup() CANCELS those tasks, so
+        # wait for them here or the client's last final is silently dropped
+        # (found by driving the live server: close right after speech-end)
+        if self._tasks:
+            await asyncio.gather(*list(self._tasks), return_exceptions=True)
 
     async def flush_vad(self) -> None:
         """Wait for queued VAD windows to be processed (used by flush/tests)."""

@@ -61,6 +61,26 @@ class TestQuantizedModel:
         quant = sum(x.nbytes for x in jax.tree.leaves(qp))
         assert quant < 0.55 * orig
 
+
+    def test_decoder_only_mode(self):
+        """int8-decoder: the encoder/adapter stay full precision (bf16
+        prefill speed), only decoder projections quantize (decode
+        bandwidth) - see quantize_params_int8 for the measured rationale."""
+        cfg = tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        qp = quantize_params_int8(params, decoder_only=True)
+        assert is_qtensor(qp["decoder"]["layers"]["qkv_w"])
+        assert is_qtensor(qp["decoder"]["layers"]["down_w"])
+        assert not is_qtensor(qp["encoder"]["layers"]["fc1_w"])
+        assert not is_qtensor(qp["encoder"]["layers"]["q_w"])
+        assert not is_qtensor(qp["adapter"]["fc1"]["w"])
+        # decoding still runs and is deterministic
+        prompt = jax.random.normal(jax.random.PRNGKey(5), (1, 8, cfg.decoder.d_model)) * 0.1
+        length = jnp.array([8])
+        a = np.asarray(greedy_generate(qp, cfg, prompt, length, 6))
+        b = np.asarray(greedy_generate(qp, cfg, prompt, length, 6))
+        np.testing.assert_array_equal(a, b)
+
     def test_quantized_generation_runs_and_is_deterministic(self):
         cfg = tiny()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)

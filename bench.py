@@ -233,16 +233,29 @@ def main():
         except Exception as e:  # keep the primary metric robust
             stream_metrics = {"stream_error": str(e)[:200]}
         # int8 weight-only serving as a first-class recorded variant (the
-        # reference ships an int8 mode, backend/asr.py:148-210)
+        # reference ships an int8 mode, backend/asr.py:148-210), plus the
+        # TPU-native 'int8-decoder' mixed mode: decode-only quantization —
+        # int8 helps only where weight-bandwidth-bound, and full int8's
+        # slower compute-bound prefill is what regressed committed latency
+        # (see ops/quant.py rationale)
         if not quick and quant != "int8" and "--no-int8" not in sys.argv:
-            try:
-                from sonicscribe_tpu.ops.quant import quantize_params_int8
+            from sonicscribe_tpu.ops.quant import quantize_params_int8
 
+            try:
                 stream_metrics.update(
                     stream_run(quantize_params_int8(params), "_int8")
                 )
             except Exception as e:
                 stream_metrics["stream_int8_error"] = str(e)[:200]
+            try:
+                stream_metrics.update(
+                    stream_run(
+                        quantize_params_int8(params, decoder_only=True),
+                        "_int8dec",
+                    )
+                )
+            except Exception as e:
+                stream_metrics["stream_int8dec_error"] = str(e)[:200]
 
     result = {
         "metric": "file_rtf_batched",

@@ -38,15 +38,21 @@ def main():
     from sonicscribe_tpu.models.tokenizer import ByteTokenizer
 
     quick = "--quick" in sys.argv  # tiny model, for CI-style smoke runs
-    quant = "int8" if "--int8" in sys.argv else "native"
+    quant = (
+        "int8-decoder" if "--int8-decoder" in sys.argv
+        else "int8" if "--int8" in sys.argv
+        else "native"
+    )
 
     cfg = tiny() if quick else nano()
     dtype = jnp.float32 if quick else jnp.bfloat16
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    if quant == "int8":
+    if quant in ("int8", "int8-decoder"):
         from sonicscribe_tpu.ops.quant import quantize_params_int8
 
-        params = quantize_params_int8(params)
+        params = quantize_params_int8(
+            params, decoder_only=quant == "int8-decoder"
+        )
     tokenizer = ByteTokenizer(cfg)
 
     file_bucket = 256 if quick else 3072  # 30 s of mel frames
@@ -238,7 +244,7 @@ def main():
         # int8 helps only where weight-bandwidth-bound, and full int8's
         # slower compute-bound prefill is what regressed committed latency
         # (see ops/quant.py rationale)
-        if not quick and quant != "int8" and "--no-int8" not in sys.argv:
+        if not quick and quant == "native" and "--no-int8" not in sys.argv:
             from sonicscribe_tpu.ops.quant import quantize_params_int8
 
             try:

@@ -746,6 +746,14 @@ class BatchedEngine:
         self.long_idle_k_cap = 32
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots
+        # while realtime sessions are live, a prefill GROUP may not exceed
+        # this many total mel frames: a B=8 group at the 2048-frame file
+        # bucket is a ~half-second program that stalls every interim behind
+        # it (MIXED_BENCH r3: interim p95 249 -> 573 ms when the file job's
+        # segments grouped). 4096 = the 512-frame final bucket at B=8,
+        # which measured interim-safe (COMMIT_LATENCY_BENCH). With no
+        # streams live, groups are throughput-sized (file RTF).
+        self.live_prefill_frame_cap = 4096
 
     # ---- compatibility views (tests/benches introspect the long pool) ----
 
@@ -955,7 +963,10 @@ class BatchedEngine:
             arr[:, : min(n_suffix, sb)] = prompt.suffix_ids[: min(n_suffix, sb)]
             return arr
 
-        def grid_choices(pool, ring: bool, is_smallest: bool, sb: int, pool_choices):
+        def grid_choices(
+            pool, ring: bool, is_smallest: bool, sb: int, frame_bucket: int,
+            pool_choices,
+        ):
             """Batch sizes to compile for one (pool, path, bucket, sb) cell.
             Warmup wall time is per-program round-trip-bound on the tunnel,
             so the default grid compiles only what the serving workload
@@ -974,8 +985,16 @@ class BatchedEngine:
                 # synchronized final/file waves admit in GROUPS: B=1-only
                 # prefill waves measured as the dominant committed-latency
                 # term (COMMIT_LATENCY_BENCH) — group ladder for the
-                # default-suffix long class at every bucket
-                return tuple(b for b in (1, 4, 8) if b in pool_choices)
+                # default-suffix long class at every bucket, including the
+                # largest live-safe group (live_prefill_frame_cap) so big
+                # buckets aren't forced back to B=1 while streams are live
+                live_cap = max(
+                    1, self.live_prefill_frame_cap // max(frame_bucket, 1)
+                )
+                return tuple(
+                    b for b in (1, 2, 4, 8)
+                    if b in pool_choices and (b <= live_cap or b in (4, 8))
+                ) or (1,)
             return (1,)  # hotword-suffix finals are rare; B=1 only
 
         n_sub = 10240 // WINDOW_SAMPLES  # 640 ms gate window
@@ -1008,7 +1027,8 @@ class BatchedEngine:
                         ):
                             continue  # short pool hosts only feasible combos
                         for B in grid_choices(
-                            pool, False, bucket == smallest, sb, pool_choices
+                            pool, False, bucket == smallest, sb, bucket,
+                            pool_choices,
                         ):
                             def host_prefill(pool=pool, bucket=bucket, sb=sb, B=B, lower_only=False):
                                 mels = jnp.zeros(
@@ -1046,7 +1066,8 @@ class BatchedEngine:
                         ):
                             continue
                         for B in grid_choices(
-                            pool, True, cb == smallest_cb, sb, pool_choices
+                            pool, True, cb == smallest_cb, sb, fb,
+                            pool_choices,
                         ):
                             def ring_prefill(pool=pool, cb=cb, sb=sb, B=B, lower_only=False):
                                 self._dispatch_ring_prefill(
@@ -1731,6 +1752,13 @@ class BatchedEngine:
                 if items_h:
                     self._admit_grouped(pool, items_h)
 
+    def _group_b_cap(self, frame_bucket: int) -> int:
+        """Largest prefill group size for this bucket given live realtime
+        sessions (interim-latency protection; see live_prefill_frame_cap)."""
+        if len(self._free_streams) >= self.N_STREAMS:
+            return 10**9  # no streams live: throughput-sized groups
+        return max(1, self.live_prefill_frame_cap // max(frame_bucket, 1))
+
     def _admit_ring_grouped(
         self, pool: _CachePool, reqs: list[_RingTranscribeReq]
     ) -> None:
@@ -1740,12 +1768,13 @@ class BatchedEngine:
             sb = self._route_suffix_bucket(req.hotwords)
             by_key.setdefault((bucket, sb), []).append(req)
         for (bucket, sb), items in by_key.items():
+            b_cap = self._group_b_cap(bucket * 1024 // 160)
             idx = 0
             while idx < len(items):
                 rest = len(items) - idx
                 B = max(
                     (b for b in self.prefill_batch_choices
-                     if b <= rest
+                     if b <= rest and b <= b_cap
                      and (bucket, sb, b) in pool.compiled_ring_prefill),
                     default=1,
                 )
@@ -1898,13 +1927,15 @@ class BatchedEngine:
             by_key.setdefault((prep[0], prep[7]), []).append((req, prep))
 
         for (bucket, sb), items in by_key.items():
+            b_cap = self._group_b_cap(bucket)
             idx = 0
             while idx < len(items):
                 rest = len(items) - idx
                 # largest COMPILED batch size <= remaining (B=1 always compiled)
                 B = max(
                     (b for b in self.prefill_batch_choices
-                     if b <= rest and (bucket, sb, b) in pool.compiled_prefill),
+                     if b <= rest and b <= b_cap
+                     and (bucket, sb, b) in pool.compiled_prefill),
                     default=1,
                 )
                 self._admit_group(pool, bucket, items[idx : idx + B], B)

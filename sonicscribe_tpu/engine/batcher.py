@@ -663,12 +663,16 @@ class BatchedEngine:
         # the smallest choice >= min remaining <= short_budget-1, so the
         # smallest power-of-two covering that is < 2*short_budget — if
         # short_budget ever grows, the compiled grid grows with it instead
-        # of a mid-serving JIT stall (ADVICE r2). The fused dual program
-        # shares this ladder (its k is the short pool's pick) and the
-        # dispatch path additionally clamps to the largest compiled choice.
-        self.dual_k_choices = tuple(
-            c for c in _DECODE_K_CHOICES if c < 2 * max(self.short_budget, 1)
-        ) or (1,)
+        # of a mid-serving JIT stall (ADVICE r2). short_budget-1 itself is
+        # in the ladder: a fresh interim needs exactly budget-1 more steps
+        # after prefill's first token, so the common wave runs 14 steps
+        # instead of rounding up to 16. The fused dual program shares this
+        # ladder (its k is the short pool's pick) and the dispatch path
+        # additionally clamps to the largest compiled choice.
+        self.dual_k_choices = tuple(sorted(
+            {c for c in _DECODE_K_CHOICES if c < 2 * max(self.short_budget, 1)}
+            | {max(1, self.short_budget - 1)}
+        ))
 
         # (bucket, B) prefill-program sizes compiled at warmup; groups are
         # split to compiled sizes at runtime so no request ever pays a
@@ -2004,8 +2008,10 @@ class BatchedEngine:
             max(1, s.budget - 1 - s.steps_seen) for s in pool.slots if s.active
         ]
         min_rem = max(1, min(remaining)) if remaining else 1
-        k = next((c for c in _DECODE_K_CHOICES if c >= min_rem),
-                 _DECODE_K_CHOICES[-1])
+        choices = (
+            self.dual_k_choices if pool is self.short else _DECODE_K_CHOICES
+        )
+        k = next((c for c in choices if c >= min_rem), choices[-1])
         if (
             self._ring_backlog
             or self._host_backlog

@@ -740,14 +740,19 @@ class BatchedEngine:
         # capacity vs synchronized final waves, not by k — size `slots` to
         # the expected concurrent finals.
         self.long_live_k_cap = 8
-        # ...but when the SHORT pool is idle this tick (no interims in
-        # flight), the long pool may take a bigger k — and skip the pending
-        # cap when nothing short-class waits (see _pick_k). Tuned on chip
-        # via COMMIT_LATENCY_BENCH round 2: k32 beat k16 (committed p50
-        # 1236 vs 1426 ms) and k64 added nothing; interim p95 was UNHARMED
-        # (245.8 ms) because the escalation only fires when nobody is
-        # mid-interim.
+        # ...but when the short class is QUIET — no interim in flight AND
+        # none admitted for short_quiet_s — the long pool may take a bigger
+        # k and skip the pending cap (see _pick_k). Tuned on chip via
+        # COMMIT_LATENCY_BENCH round 2: k32 beat k16 (committed p50 1236 vs
+        # 1426 ms), k64 added nothing. The quiet-window guard exists for
+        # the MIXED workload: with a file job running, momentary inter-wave
+        # short-idle gaps otherwise let a 140 ms k32 program stall freshly
+        # arriving interims (interim p95 249 -> 558 ms, MIXED_BENCH r3);
+        # ongoing interim traffic means gaps stay under short_quiet_s, so
+        # escalation fires only in true silence phases.
         self.long_idle_k_cap = 32
+        self.short_quiet_s = 0.3
+        self._last_short_admit = 0.0
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots
         # while realtime sessions are live, a prefill GROUP may not exceed
@@ -1837,6 +1842,8 @@ class BatchedEngine:
             return
 
         t_admit = time.perf_counter()
+        if pool is self.short:
+            self._last_short_admit = t_admit
         for req, slot_idx in zip(items, slot_list):
             req.t_admit = t_admit
             st = pool.slots[slot_idx]
@@ -1989,6 +1996,8 @@ class BatchedEngine:
             return
 
         t_admit = time.perf_counter()
+        if pool is self.short:
+            self._last_short_admit = t_admit
         for (req, prep), slot_idx in zip(items, slot_list):
             req.t_admit = t_admit
             st = pool.slots[slot_idx]
@@ -2019,18 +2028,14 @@ class BatchedEngine:
             or not self._ring_requests.empty()
             or not self._vad_ring_requests.empty()
             or not self._vad_requests.empty()
-        ) and not (
-            # EXCEPTION (COMMIT_LATENCY_BENCH): with the short pool idle and
-            # nothing short-class waiting, the pending items are long-class
-            # finals (bounded by their own multi-tick decode, which a larger
-            # k SPEEDS UP) and VAD gate probes — and with no interim in
-            # flight the streams are in their silence phase, where a
-            # k-program-delayed gate decision costs nothing (speech starts
-            # are backdated to the window's first chunk anyway)
-            pool is self.long
-            and self.short.n_active == 0
-            and not self._backlog_has_short
-        ):
+        ) and not (pool is self.long and self._short_quiet()):
+            # EXCEPTION (COMMIT_LATENCY_BENCH): with the short class quiet,
+            # the pending items are long-class finals (bounded by their own
+            # multi-tick decode, which a larger k SPEEDS UP) and VAD gate
+            # probes — and a quiet short class means the streams are in
+            # their silence phase, where a k-program-delayed gate decision
+            # costs nothing (speech starts are backdated to the window's
+            # first chunk anyway)
             k = min(k, self.pending_k_cap)
         if len(self._free_streams) < self.N_STREAMS:
             # realtime sessions live: long-pool programs are capped harder —
@@ -2045,17 +2050,27 @@ class BatchedEngine:
             # the tuned long cap exactly in that scenario.
             if pool is self.short:
                 cap = self.live_k_cap
-            elif self.short.n_active == 0:
-                # short pool idle this tick: finals may run a bigger k — an
-                # interim arriving mid-program waits at most k steps, and
-                # with no interims in flight the odds one arrives are the
-                # same as ever but the committed path gains k/long_live_k
-                # fewer ticks per final (COMMIT_LATENCY_BENCH A/B)
+            elif self._short_quiet():
+                # short class quiet (silence phase): finals may run a
+                # bigger k — the committed path gains k/long_live_k fewer
+                # ticks per final (COMMIT_LATENCY_BENCH A/B) and ongoing
+                # interim traffic suppresses this via the quiet window
+                # (MIXED_BENCH protection)
                 cap = self.long_idle_k_cap
             else:
                 cap = self.long_live_k_cap
             k = min(k, cap)
         return k
+
+    def _short_quiet(self) -> bool:
+        """True when the short (interim) class is quiet: nothing in flight,
+        nothing short-class backlogged, and no admission for short_quiet_s —
+        i.e. the realtime streams are in a silence phase."""
+        return (
+            self.short.n_active == 0
+            and not self._backlog_has_short
+            and time.perf_counter() - self._last_short_admit > self.short_quiet_s
+        )
 
     def _park(self, pool: _CachePool, status, k: int, parked: list) -> None:
         self.stats["decode_steps"] += k

@@ -755,14 +755,18 @@ class BatchedEngine:
         self._last_short_admit = 0.0
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots
-        # while realtime sessions are live, a prefill GROUP may not exceed
-        # this many total mel frames: a B=8 group at the 2048-frame file
-        # bucket is a ~half-second program that stalls every interim behind
-        # it (MIXED_BENCH r3: interim p95 249 -> 573 ms when the file job's
-        # segments grouped). 4096 = the 512-frame final bucket at B=8,
-        # which measured interim-safe (COMMIT_LATENCY_BENCH). With no
-        # streams live, groups are throughput-sized (file RTF).
-        self.live_prefill_frame_cap = 4096
+        # while the short (interim) class is ACTIVE, a LONG-pool prefill
+        # group may not exceed this many total mel frames: a B=8 group at
+        # the 512-frame bucket is a ~4096-frame encoder program that stalls
+        # every interim queued behind it (MIXED_BENCH r3: interim p95 249 ->
+        # 558 ms when a concurrent file job's segments grouped mid-speech).
+        # During short-quiet phases (true silence, or no streams at all)
+        # groups are throughput-sized — synchronized final waves still
+        # group at B=8 because the gate's 1.28 s end-hangover guarantees
+        # the quiet window by the time they arrive. Short-pool (interim)
+        # groups are exempt: their waves self-batch and recur at a 1 s
+        # cadence, not mid-wave.
+        self.live_busy_prefill_frame_cap = 512
 
     # ---- compatibility views (tests/benches introspect the long pool) ----
 
@@ -995,10 +999,10 @@ class BatchedEngine:
                 # prefill waves measured as the dominant committed-latency
                 # term (COMMIT_LATENCY_BENCH) — group ladder for the
                 # default-suffix long class at every bucket, including the
-                # largest live-safe group (live_prefill_frame_cap) so big
-                # buckets aren't forced back to B=1 while streams are live
+                # largest live-busy-safe group so big buckets aren't forced
+                # back to B=1 while interims are active
                 live_cap = max(
-                    1, self.live_prefill_frame_cap // max(frame_bucket, 1)
+                    1, self.live_busy_prefill_frame_cap // max(frame_bucket, 1)
                 )
                 return tuple(
                     b for b in (1, 2, 4, 8)
@@ -1761,12 +1765,12 @@ class BatchedEngine:
                 if items_h:
                     self._admit_grouped(pool, items_h)
 
-    def _group_b_cap(self, frame_bucket: int) -> int:
-        """Largest prefill group size for this bucket given live realtime
-        sessions (interim-latency protection; see live_prefill_frame_cap)."""
-        if len(self._free_streams) >= self.N_STREAMS:
-            return 10**9  # no streams live: throughput-sized groups
-        return max(1, self.live_prefill_frame_cap // max(frame_bucket, 1))
+    def _group_b_cap(self, pool: _CachePool, frame_bucket: int) -> int:
+        """Largest prefill group size for this (pool, bucket) right now
+        (interim-latency protection; see live_busy_prefill_frame_cap)."""
+        if pool is self.short or self._short_quiet():
+            return 10**9  # interim waves / silence phases: throughput-sized
+        return max(1, self.live_busy_prefill_frame_cap // max(frame_bucket, 1))
 
     def _admit_ring_grouped(
         self, pool: _CachePool, reqs: list[_RingTranscribeReq]
@@ -1777,7 +1781,7 @@ class BatchedEngine:
             sb = self._route_suffix_bucket(req.hotwords)
             by_key.setdefault((bucket, sb), []).append(req)
         for (bucket, sb), items in by_key.items():
-            b_cap = self._group_b_cap(bucket * 1024 // 160)
+            b_cap = self._group_b_cap(pool, bucket * 1024 // 160)
             idx = 0
             while idx < len(items):
                 rest = len(items) - idx
@@ -1938,7 +1942,7 @@ class BatchedEngine:
             by_key.setdefault((prep[0], prep[7]), []).append((req, prep))
 
         for (bucket, sb), items in by_key.items():
-            b_cap = self._group_b_cap(bucket)
+            b_cap = self._group_b_cap(pool, bucket)
             idx = 0
             while idx < len(items):
                 rest = len(items) - idx

@@ -753,6 +753,10 @@ class BatchedEngine:
         self.long_idle_k_cap = 32
         self.short_quiet_s = 0.3
         self._last_short_admit = 0.0
+        # max long-pool admissions per tick while the short class is busy
+        # (admission pacing: bounds the host-prep + prefill work a file
+        # burst can inject into one tick; see _admit_backlogs)
+        self.busy_long_admit_cap = 2
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots
         # while the short (interim) class is ACTIVE, a LONG-pool prefill
@@ -767,6 +771,7 @@ class BatchedEngine:
         # groups are exempt: their waves self-batch and recur at a 1 s
         # cadence, not mid-wave.
         self.live_busy_prefill_frame_cap = 512
+        self.quiet_prefill_frame_cap = 2048  # B=4 at the 512-frame bucket
 
     # ---- compatibility views (tests/benches introspect the long pool) ----
 
@@ -1713,8 +1718,17 @@ class BatchedEngine:
     def _admit_backlogs(self) -> None:
         """Route backlogged requests to their pools by cache need; admit what
         fits each pool's free slots, carry the overflow to the next tick.
-        Latency-priority: short-budget (interim) requests first."""
+        Latency-priority: short-budget (interim) requests first. While the
+        short class is BUSY, long-pool admissions are PACED (a file job's
+        12-segment burst admitted in one tick costs ~300 ms of host prep +
+        prefill dispatch, which every interim behind it eats as queue wait —
+        the mixed-workload p95 tail, MIXED_BENCH); quiet phases admit
+        everything at once for throughput."""
         free = {id(p): p.free for p in self.pools}
+        if not self._short_quiet():
+            free[id(self.long)] = min(
+                free[id(self.long)], self.busy_long_admit_cap
+            )
         self._backlog_has_short = False
         if self._ring_backlog:
             keep: list[_RingTranscribeReq] = []
@@ -1768,8 +1782,15 @@ class BatchedEngine:
     def _group_b_cap(self, pool: _CachePool, frame_bucket: int) -> int:
         """Largest prefill group size for this (pool, bucket) right now
         (interim-latency protection; see live_busy_prefill_frame_cap)."""
-        if pool is self.short or self._short_quiet():
-            return 10**9  # interim waves / silence phases: throughput-sized
+        if pool is self.short:
+            return 10**9  # interim waves self-batch at a 1 s cadence
+        if len(self._free_streams) >= self.N_STREAMS:
+            return 10**9  # no realtime sessions: pure throughput (file RTF)
+        if self._short_quiet():
+            # silence phase: bigger groups, but still bounded — a quiet-
+            # admitted program EXECUTES later and can collide with the next
+            # speech phase's first interims (the mixed-workload p95 tail)
+            return max(1, self.quiet_prefill_frame_cap // max(frame_bucket, 1))
         return max(1, self.live_busy_prefill_frame_cap // max(frame_bucket, 1))
 
     def _admit_ring_grouped(

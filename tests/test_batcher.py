@@ -258,6 +258,56 @@ class TestGroupedFinalPrefill:
             np.testing.assert_array_equal(t, tokens[0])
 
 
+class TestBusyAdmissionPacing:
+    def test_long_admissions_paced_while_short_busy(self, stack):
+        """While the short class is busy, a long-class burst admits at most
+        busy_long_admit_cap per tick (bounds per-tick host-prep + prefill
+        work, the mixed-workload interim-tail term); when quiet, the rest
+        admits freely."""
+        import time as _time
+
+        from sonicscribe_tpu.engine.batcher import _RingTranscribeReq
+
+        cfg, tr = stack
+
+        async def go():
+            eng = BatchedEngine(
+                tr, EnergyVad(), slots=8, max_decode_tokens=64, n_streams=8
+            )
+            try:
+                streams = [eng.alloc_stream() for _ in range(5)]
+                loop = asyncio.get_running_loop()
+                futs = []
+                for s in streams:
+                    fut = loop.create_future()
+                    eng._ring_backlog.append(
+                        _RingTranscribeReq(
+                            s, 0, 1, 20, None, 1.0, fut, _time.perf_counter()
+                        )
+                    )
+                    futs.append(fut)
+                # short class BUSY: an admission just happened
+                eng._last_short_admit = _time.perf_counter()
+                eng._admit_backlogs()
+                paced_active = eng.long.n_active
+                paced_kept = len(eng._ring_backlog)
+                # short class QUIET: the rest admits in one go
+                eng._last_short_admit = 0.0
+                eng._admit_backlogs()
+                rest_active = eng.long.n_active
+                # drain so shutdown doesn't fail pending futures loudly
+                await eng.start()
+                await asyncio.gather(*futs)
+                return paced_active, paced_kept, rest_active
+            finally:
+                eng.shutdown()
+
+        paced_active, paced_kept, rest_active = _run(go())
+        assert paced_active == 2  # busy_long_admit_cap
+        assert paced_kept == 3
+        assert rest_active == 5
+
+
 class TestVadBurstOver64:
     def test_ring_vad_burst_over_largest_bucket(self, stack):
         """A lockstep gate-window burst from >64 streams must split across

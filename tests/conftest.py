@@ -21,4 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The serialized-executable store (engine/exec_store.py) is off in tests:
+# a stored binary would survive in-process monkeypatching of compute fns
+# and hide recompile-path behavior. test_exec_store.py opts in explicitly
+# with a tmp-dir SONIC_EXEC_CACHE.
+os.environ.setdefault("SONIC_EXEC_CACHE", "0")
+
 pytest_plugins = ["aiohttp.pytest_plugin"]

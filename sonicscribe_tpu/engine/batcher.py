@@ -781,9 +781,9 @@ class BatchedEngine:
         # by our tests; the dryrun/mesh path keeps the plain jit dispatch).
         import os as _os
 
-        self._execs: dict = {}
-        self._exec_unvalidated: set = set()
-        self._exec_store = None
+        from sonicscribe_tpu.engine.exec_store import ExecRouter
+
+        store = None
         env = _os.environ.get("SONIC_EXEC_CACHE", "")
         if env != "0" and mesh is None:
             try:
@@ -814,9 +814,10 @@ class BatchedEngine:
                 base = env or _os.path.join(
                     _os.path.expanduser("~"), ".cache", "sonicscribe_exec"
                 )
-                self._exec_store = ExecStore(base, context)
+                store = ExecStore(base, context)
             except Exception as e:  # pragma: no cover - defensive
                 logger.warning("exec store disabled: %s", e)
+        self._router = ExecRouter(store)
 
     # ---- compatibility views (tests/benches introspect the long pool) ----
 
@@ -1330,68 +1331,27 @@ class BatchedEngine:
             else jnp.float32
         )
 
+    # exec-store views (tests and debugging introspect these)
+    @property
+    def _exec_store(self):
+        return self._router.store
+
+    @property
+    def _execs(self) -> dict:
+        return self._router.execs
+
     def _run_program(
         self, key, jit_fn, lower_args, dyn_args, kwargs=None,
         lower_only=False, donate_idx=(),
     ):
-        """Dispatch one grid program, routing through the serialized-
-        executable store when enabled (engine/exec_store.py).
-
-        `lower_args` are the full jit arguments (statics included, plus
-        `kwargs` statics); `dyn_args` are the array arguments only — a
-        `jax.stages.Compiled` is called WITHOUT its baked-in statics.
-        With the store enabled every dispatch goes through the Compiled
-        object: the AOT warmup pass never populates the in-process jit
-        cache, so calling the jit wrapper after warmup would re-trace
-        the program — exactly the cost the store exists to kill.
-
-        `donate_idx` indexes dyn_args entries the program DONATES
-        (mirrors the jit decorator). The FIRST call of a loaded
-        executable passes copies for those: a stored binary can fail
-        mid-execution (seen with XLA:CPU's AOT machine-feature check —
-        "Function ... not found"), which consumes the donated buffers,
-        and a retry against deleted engine arrays is unrecoverable.
-        With copies, failure costs nothing: the program recompiles and
-        re-runs with the untouched originals. After one success the key
-        is validated and donation runs on the real arrays again.
-        """
-        kwargs = kwargs or {}
-        if self._exec_store is None:
-            if lower_only:
-                jit_fn.lower(*lower_args, **kwargs).compile()
-                return None
-            return jit_fn(*lower_args, **kwargs)
-        c = self._execs.get(key)
-        if c is None:
-            c = self._exec_store.load(key)
-            if c is not None:
-                self._exec_unvalidated.add(key)
-            else:
-                c = jit_fn.lower(*lower_args, **kwargs).compile()
-                self._exec_store.save(key, c)
-            self._execs[key] = c
-        if lower_only:
-            return None
-        if key not in self._exec_unvalidated:
-            return c(*dyn_args)
-        try:
-            safe = list(dyn_args)
-            for i in donate_idx:
-                safe[i] = jnp.copy(dyn_args[i])
-            out = c(*safe)
-            self._exec_unvalidated.discard(key)
-            return out
-        except Exception as e:
-            logger.warning(
-                "stored executable %r rejected (%s: %.300s); recompiling",
-                key, type(e).__name__, e,
-            )
-            self._exec_unvalidated.discard(key)
-            self._execs.pop(key, None)
-            c = jit_fn.lower(*lower_args, **kwargs).compile()
-            self._execs[key] = c
-            self._exec_store.save(key, c)
-            return c(*dyn_args)
+        """Dispatch one grid program through the serialized-executable
+        router (see exec_store.ExecRouter for the full contract —
+        Compiled-object dispatch, donated-arg validation copies, stale-
+        load recompile fallback)."""
+        return self._router.run(
+            key, jit_fn, lower_args, dyn_args, kwargs,
+            lower_only=lower_only, donate_idx=donate_idx,
+        )
 
     def _run_vad_host(self, windows, states, lower_only=False):
         """Batched host-audio VAD program (exec-store routed)."""

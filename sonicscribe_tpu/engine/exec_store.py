@@ -94,6 +94,79 @@ def params_signature(params) -> tuple:
     )
 
 
+class ExecRouter:
+    """Dispatch programs through an ExecStore (shared by BatchedEngine and
+    Transcriber).
+
+    `lower_args` are the full jit arguments (statics included, plus
+    `kwargs` statics); `dyn_args` are the array arguments only — a
+    `jax.stages.Compiled` is called WITHOUT its baked-in statics. With a
+    store, every dispatch goes through the Compiled object: AOT paths
+    never populate the in-process jit cache, so calling the jit wrapper
+    after an AOT warmup would re-trace the program — exactly the cost
+    the store exists to kill. Measured on chip: the Compiled call path
+    costs the same as the jit fast path (0.07 vs 0.09 ms per decode
+    dispatch).
+
+    `donate_idx` indexes dyn_args entries the program DONATES (mirrors
+    the jit decorator). The FIRST call of a loaded executable passes
+    copies for those: a stored binary can fail mid-execution (seen with
+    XLA:CPU's AOT machine-feature check — "Function ... not found"),
+    which consumes the donated buffers, and a retry against deleted
+    engine arrays is unrecoverable. With copies, failure costs nothing:
+    the program recompiles and re-runs with the untouched originals.
+    After one success the key is validated and donation runs on the
+    real arrays again.
+    """
+
+    def __init__(self, store):
+        self.store = store  # None -> plain jit dispatch
+        self.execs: dict = {}
+        self.unvalidated: set = set()
+
+    def run(
+        self, key, jit_fn, lower_args, dyn_args, kwargs=None,
+        lower_only=False, donate_idx=(),
+    ):
+        kwargs = kwargs or {}
+        if self.store is None:
+            if lower_only:
+                jit_fn.lower(*lower_args, **kwargs).compile()
+                return None
+            return jit_fn(*lower_args, **kwargs)
+        c = self.execs.get(key)
+        if c is None:
+            c = self.store.load(key)
+            if c is not None:
+                self.unvalidated.add(key)
+            else:
+                c = jit_fn.lower(*lower_args, **kwargs).compile()
+                self.store.save(key, c)
+            self.execs[key] = c
+        if lower_only:
+            return None
+        if key not in self.unvalidated:
+            return c(*dyn_args)
+        try:
+            safe = list(dyn_args)
+            for i in donate_idx:
+                safe[i] = jax.numpy.copy(dyn_args[i])
+            out = c(*safe)
+            self.unvalidated.discard(key)
+            return out
+        except Exception as e:
+            logger.warning(
+                "stored executable %r rejected (%s: %.300s); recompiling",
+                key, type(e).__name__, e,
+            )
+            self.unvalidated.discard(key)
+            self.execs.pop(key, None)
+            c = jit_fn.lower(*lower_args, **kwargs).compile()
+            self.execs[key] = c
+            self.store.save(key, c)
+            return c(*dyn_args)
+
+
 class ExecStore:
     """One directory of serialized executables per context fingerprint."""
 

@@ -129,6 +129,51 @@ class Transcriber:
         self.peak_normalize = peak_normalize
         self.hotword_bias_strength = hotword_bias_strength
         self._zero_bias = jnp.zeros((cfg.decoder.vocab_size,), jnp.float32)
+        self._router = None  # built lazily: params may be re-sharded later
+
+    def _exec_router(self):
+        """Serialized-executable router for the (bucket, budget) grid —
+        same restart-warmup store the batcher uses (engine/exec_store.py).
+        Built on first dispatch, NOT in __init__: BatchedEngine(mesh=...)
+        replaces self.params with a mesh-replicated copy after
+        construction, and multi-device params disable the store (the
+        fingerprint does not cover shardings)."""
+        if self._router is None:
+            import os
+
+            from sonicscribe_tpu.engine.exec_store import (
+                ExecRouter,
+                ExecStore,
+                params_signature,
+            )
+
+            store = None
+            env = os.environ.get("SONIC_EXEC_CACHE", "")
+            leaf = jax.tree.leaves(self.params)[0]
+            single_device = (
+                not hasattr(leaf, "devices") or len(leaf.devices()) == 1
+            )
+            if env != "0" and single_device:
+                try:
+                    store = ExecStore(
+                        env
+                        or os.path.join(
+                            os.path.expanduser("~"),
+                            ".cache",
+                            "sonicscribe_exec",
+                        ),
+                        (
+                            "transcriber",
+                            repr(self.cfg),
+                            params_signature(self.params),
+                            repr(self.mel_cfg),
+                            tuple(self.buckets),
+                        ),
+                    )
+                except Exception:  # pragma: no cover - defensive
+                    store = None
+            self._router = ExecRouter(store)
+        return self._router
 
     # ---- host-side helpers ----
 
@@ -193,7 +238,7 @@ class Transcriber:
         s = prompt.suffix_ids[:MAX_SUFFIX_TOKENS]
         suffix[: len(s)] = s
 
-        toks = _transcribe_program(
+        args = (
             self.params,
             self.cfg,
             mel.astype(jnp.bfloat16)
@@ -205,6 +250,13 @@ class Transcriber:
             jnp.asarray(len(s), jnp.int32),
             self._hotword_logit_bias(hotwords),
             max_new_tokens,
+        )
+        toks = self._exec_router().run(
+            ("transcribe", bucket, max_new_tokens,
+             int(args[4].shape[0])),
+            _transcribe_program,
+            args,
+            args[:1] + args[2:8],
         )
         toks = np.asarray(jax.block_until_ready(toks))[0]
         t_gen = time.perf_counter()

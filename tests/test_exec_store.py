@@ -81,6 +81,32 @@ def test_corrupt_entry_falls_back(stack, tmp_path):
     assert store_b.loads == 0 and store_b.saves > 0  # recompiled + re-saved
 
 
+def test_transcriber_roundtrip(stack, tmp_path):
+    """Transcriber routes its (bucket, budget) program through the store:
+    restart loads, token parity holds."""
+    cfg, tr0 = stack
+    audio = _audio()
+    golden = tr0.transcribe(audio, SR, max_new_tokens=8).tokens
+
+    os.environ["SONIC_EXEC_CACHE"] = str(tmp_path)
+    try:
+        tr1 = Transcriber(
+            cfg, tr0.params, tr0.tokenizer, prefill_buckets=(64,)
+        )
+        t1 = tr1.transcribe(audio, SR, max_new_tokens=8).tokens
+        np.testing.assert_array_equal(t1, golden)
+        assert tr1._router.store is not None and tr1._router.store.saves == 1
+
+        tr2 = Transcriber(
+            cfg, tr0.params, tr0.tokenizer, prefill_buckets=(64,)
+        )
+        t2 = tr2.transcribe(audio, SR, max_new_tokens=8).tokens
+        np.testing.assert_array_equal(t2, golden)
+        assert tr2._router.store.loads == 1 and tr2._router.store.saves == 0
+    finally:
+        os.environ["SONIC_EXEC_CACHE"] = "0"
+
+
 def test_prune_drops_only_stale_dirs(tmp_path):
     """Old fingerprint dirs prune; fresh ones (concurrent engines) stay."""
     from sonicscribe_tpu.engine.exec_store import ExecStore

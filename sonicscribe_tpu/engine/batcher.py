@@ -44,7 +44,9 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os as _os
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Optional
@@ -264,7 +266,7 @@ def _book_step(cfg, logits, bias, dn, tok, out, n, bud, idx, max_new):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "k_steps", "use_flash"),
+    static_argnames=("cfg", "k_steps", "use_flash", "rows"),
     # out_tokens (argnum 6) is NOT donated: the scheduler parks the output
     # handle and fetches finished rows one tick later, concurrently with the
     # next decode program — donation would tie the fetch to that program
@@ -284,25 +286,49 @@ def _decode_k_program(
     budgets,  # [S] i32
     k_steps: int,
     use_flash: bool = False,
+    rows: int | None = None,
 ):
     """K greedy steps for all slots, fully device-side bookkeeping.
 
     Returns new state + status [S] i32 where status = (n_emitted+1) signed
     negative when done — ONE tiny host fetch tells the scheduler everything.
+
+    `rows`: static occupied-prefix count — compute only slots [0:rows].
+    Decode at serving batch sizes is HBM-bound and the per-step KV read
+    scales with rows x max_len (nano long pool: 4.7 GB full vs 3.4 GB of
+    weights), while slot allocation is lowest-free-first, so the active
+    slots live in a prefix. The caller picks the smallest compiled rows
+    covering the highest active slot; excluded rows are untouched (their
+    updates are frozen no-ops in the full program anyway). The prefix
+    slices fuse into the attention read and the dynamic_update_slice at
+    offset 0 aliases the donated carry in place, so there is no
+    materialized copy of the excluded rows (measured: ROWS_DECODE_BENCH).
+    rows=None runs the full pool (identical to the pre-rows program).
     """
     S, MAX_NEW = out_tokens.shape
-    b_idx = jnp.arange(S)
+    R = S if rows is None else min(rows, S)
+    b_idx = jnp.arange(R)
+    bias_r = bias[:R]
+    bud_r = budgets[:R]
+    zero5 = (0, 0, 0, 0, 0)
 
     def step(carry, _):
         ck, cv, cl, tok, out, n, dn = carry
-        cache = {"k": ck, "v": cv, "len": cl}
+        cache = {"k": ck[:, :R], "v": cv[:, :R], "len": cl[:R]}
         cache, logits = decode_step(
-            params, cfg, cache, tok, active=~dn, use_flash=use_flash
+            params, cfg, cache, tok[:R], active=~dn[:R], use_flash=use_flash
         )
-        nxt, out, n, dn = _book_step(
-            cfg, logits, bias, dn, tok, out, n, budgets, b_idx, MAX_NEW
+        ck = jax.lax.dynamic_update_slice(ck, cache["k"], zero5)
+        cv = jax.lax.dynamic_update_slice(cv, cache["v"], zero5)
+        cl = jax.lax.dynamic_update_slice(cl, cache["len"], (0,))
+        nxt, out, n_r, dn_r = _book_step(
+            cfg, logits, bias_r, dn[:R], tok[:R], out, n[:R], bud_r,
+            b_idx, MAX_NEW,
         )
-        return (cache["k"], cache["v"], cache["len"], nxt, out, n, dn), None
+        tok = jax.lax.dynamic_update_slice(tok, nxt, (0,))
+        n = jax.lax.dynamic_update_slice(n, n_r, (0,))
+        dn = jax.lax.dynamic_update_slice(dn, dn_r, (0,))
+        return (ck, cv, cl, tok, out, n, dn), None
 
     (cache_k, cache_v, cache_len, last_tok, out_tokens, n_emitted, done), _ = (
         jax.lax.scan(
@@ -438,6 +464,15 @@ class _CachePool:
     name: str
     max_len: int
     trash_slot: int  # == n_slots; rows beyond it are dp padding
+    # occupied-prefix decode ladder (ROWS_DECODE_BENCH): sorted static row
+    # counts the decode grid compiles in addition to the full pool. Slot
+    # alloc is lowest-free-first, so active slots cluster in a prefix; the
+    # dispatch picks the smallest compiled rows covering the highest active
+    # slot and the program's per-step KV read shrinks proportionally
+    # (measured k=8 at nano 33x2560: rows=4 113 ms / 8 159 / 16 249 vs
+    # full 283). Empty = always full (short pool: KV is negligible vs
+    # weights; mesh engines: the slot axis is sharded).
+    rows_ladder: tuple = ()
     cache_k: Any = None
     cache_v: Any = None
     cache_len: Any = None
@@ -658,6 +693,13 @@ class BatchedEngine:
             "short", n_streams, smallest_prompt + self.short_budget,
             self.short_budget,
         )
+        if mesh is None:
+            # occupied-prefix decode (see _CachePool.rows_ladder): long-pool
+            # only — the short pool's cache is too small to matter and a
+            # sharded slot axis cannot prefix-slice
+            self.long.rows_ladder = tuple(
+                r for r in (4, 8, 16) if r < len(self.long.slots) + 1
+            )
         self.pools = (self.short, self.long)
         # the SHORT pool's k ladder derives from short_budget: _pick_k picks
         # the smallest choice >= min remaining <= short_budget-1, so the
@@ -729,6 +771,13 @@ class BatchedEngine:
         # the long pool's pending-k exception honest, see _pick_k)
         self._backlog_has_short = False
         self.stats = {"ticks": 0, "decode_steps": 0, "prefills": 0, "vad_batches": 0}
+        # per-tick phase timeline (SONIC_TICK_TRACE=1): ring buffer of dicts,
+        # read by tools/bench_interim.py to decompose scheduling latency
+        self.tick_trace: "deque | None" = (
+            deque(maxlen=4096)
+            if _os.environ.get("SONIC_TICK_TRACE")
+            else None
+        )
         # decode-k caps: a mid-tick arrival waits for the in-flight program,
         # so these bound queueing latency (tuned on-chip; see bench history)
         self.pending_k_cap = 16
@@ -779,8 +828,6 @@ class BatchedEngine:
         # binaries instead of re-tracing/lowering the whole grid. Disabled
         # under a mesh (sharded-executable serialization is not exercised
         # by our tests; the dryrun/mesh path keeps the plain jit dispatch).
-        import os as _os
-
         from sonicscribe_tpu.engine.exec_store import ExecRouter
 
         store = None
@@ -1004,8 +1051,6 @@ class BatchedEngine:
         compiles every (bucket, B) pair.
         """
         del budgets  # decode cost is per-k, not per-budget
-        import os as _os
-
         # the pass-1 -> pass-2 handoff rides the persistent compilation
         # cache; make sure one exists and that EVERY program persists (the
         # default 1 s min-compile-time filter drops exactly the many small
@@ -1123,8 +1168,10 @@ class BatchedEngine:
                     else _DECODE_K_CHOICES
                 )
                 for k in k_choices:
-                    run(lambda pool=pool, k=k, lower_only=False:
-                        self._dispatch_decode(pool, k, lower_only=lower_only))
+                    for rows in pool.rows_ladder + (None,):
+                        run(lambda pool=pool, k=k, rows=rows, lower_only=False:
+                            self._dispatch_decode(
+                                pool, k, lower_only=lower_only, rows=rows))
                 for cb in self.chunk_buckets:
                     fb = cb * 1024 // 160  # frame bucket for this chunk bucket
                     for sb in self.suffix_buckets:
@@ -1473,7 +1520,24 @@ class BatchedEngine:
             pool.out_tokens, pool.n_emitted, pool.done,
         ) = out
 
-    def _dispatch_decode(self, pool: _CachePool, k: int, lower_only: bool = False):
+    def _pick_rows(self, pool: _CachePool) -> int | None:
+        """Smallest compiled rows covering every active slot (occupied-
+        prefix decode, rows_ladder); None = the full pool."""
+        if not pool.rows_ladder:
+            return None
+        high = 0
+        for i, s in enumerate(pool.slots):
+            if s.active:
+                high = i + 1
+        for r in pool.rows_ladder:
+            if r >= high:
+                return r
+        return None
+
+    def _dispatch_decode(
+        self, pool: _CachePool, k: int, lower_only: bool = False,
+        rows: int | None = None,
+    ):
         args = (
             self.transcriber.params,
             self.cfg,
@@ -1489,9 +1553,10 @@ class BatchedEngine:
             k,
             self.use_flash,
         )
-        key = ("decode", pool.name, k, self.use_flash)
+        key = ("decode", pool.name, k, self.use_flash, rows)
         out = self._run_program(
             key, _decode_k_program, args, args[:1] + args[2:11],
+            kwargs={"rows": rows},
             lower_only=lower_only, donate_idx=(1, 2, 3, 4, 6, 7),
         )
         if lower_only:
@@ -1655,9 +1720,12 @@ class BatchedEngine:
         a d2h fetch does not wait for later-dispatched programs). Finished
         requests are reaped one tick late; in exchange every tick's RTT is
         hidden, which is a strict win at realtime tick rates."""
+        trace = self.tick_trace
+        t0 = time.perf_counter()
         # 0) ship ALL sessions' new audio chunks in ONE packed upload
         if self._ingest_pending:
             self._scatter_ingest()
+        t_ingest = time.perf_counter()
 
         # 1) VAD programs (dispatch only; host-audio VAD resolves inline).
         # Ring batches split to the largest compiled bucket: a lockstep
@@ -1670,6 +1738,7 @@ class BatchedEngine:
             (p, c) for p, c in zip(ring_vad_probs, ring_vad_chunks)
             if p is not None
         ]
+        t_vad = time.perf_counter()
 
         # 2) admits from the backlogs, routed per pool (dispatch only). If a
         # pool is starved while its class has a burst waiting, resolve the
@@ -1683,20 +1752,25 @@ class BatchedEngine:
             # pool's pending-cap exception (_pick_k) isn't suppressed by a
             # short-class wait that has since been admitted
             self._backlog_has_short = False
+        t_admit = time.perf_counter()
 
         # 3) decode K steps per pool (dispatch only). If every active slot
         # has provably exhausted its budget (the device is surely done),
         # resolve FIRST — otherwise we'd dispatch a wasted k=1 program and
         # delay every finish by one more tick.
-        if self._pending_results is not None and self._all_surely_done():
+        early = self._pending_results is not None and self._all_surely_done()
+        if early:
             self._resolve_pending()
+        t_early = time.perf_counter()
         parked = self._dispatch_decode_all()
+        t_decode = time.perf_counter()
 
         # 4) resolve the PREVIOUS tick's results (fetch overlaps step-3 work:
         # everything fetched here was produced by programs dispatched LAST
         # tick, so the only wait is their remaining execution + one RTT)
         self._resolve_pending()
         del vad_done
+        t_resolve = time.perf_counter()
 
         # 5) park this tick's device handles for the next tick (out_tokens is
         # not donated, so these handles stay valid across later dispatches)
@@ -1706,6 +1780,30 @@ class BatchedEngine:
                 "ring_vad_batch": [c for _, c in ring_vad_pairs],
                 "pools": parked,
             }
+        if trace is not None:
+            trace.append({
+                "t": t0,
+                "ingest_ms": (t_ingest - t0) * 1e3,
+                "vad_dispatch_ms": (t_vad - t_ingest) * 1e3,
+                "admit_ms": (t_admit - t_vad) * 1e3,
+                "early_resolve_ms": (t_early - t_admit) * 1e3,
+                "decode_dispatch_ms": (t_decode - t_early) * 1e3,
+                "resolve_ms": (t_resolve - t_decode) * 1e3,
+                "total_ms": (t_resolve - t0) * 1e3,
+                "early": early,
+                "n_vad": len(vad_batch) + len(ring_vad_batch),
+                # remaining steps after this tick's dispatch (0 = surely
+                # done next tick)
+                "remain_max": [
+                    (p.name, max((s.budget - 1 - s.steps_seen)
+                                 for s in p.slots if s.active))
+                    for p in self.pools if any(s.active for s in p.slots)
+                ],
+                "active": [
+                    (p.name, sum(1 for s in p.slots if s.active))
+                    for p in self.pools
+                ],
+            })
 
     # ---------------- device work ----------------
 
@@ -2254,7 +2352,7 @@ class BatchedEngine:
             return parked
         for pool in active:
             k = self._pick_k(pool)
-            status = self._dispatch_decode(pool, k)
+            status = self._dispatch_decode(pool, k, rows=self._pick_rows(pool))
             self._park(pool, status, k, parked)
         return parked
 

@@ -387,6 +387,48 @@ class TestSlotReuse:
         for i, (g, w) in enumerate(zip(got_b, golden_b)):
             np.testing.assert_array_equal(g, w, err_msg=f"wave-2 request {i}")
 
+    def test_rows_prefix_decode_parity(self, stack):
+        """Occupied-prefix decode (rows_ladder): a small wave decodes through
+        the rows=4 program, a full wave through rows=8/full — token parity
+        with the unbatched path must hold for both, and _pick_rows must pick
+        the smallest covering prefix."""
+        cfg, tr = stack
+        small = [_audio(0.3, f=220 + 50 * i, seed=30 + i) for i in range(2)]
+        big = [_audio(0.4, f=400 + 30 * i, seed=40 + i) for i in range(8)]
+        golden = [
+            tr.transcribe(a, SR, max_new_tokens=8).tokens for a in small + big
+        ]
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=8, max_decode_tokens=32)
+            try:
+                assert eng.long.rows_ladder == (4, 8)
+                # unit check of the prefix pick on synthetic occupancy
+                for i in range(len(eng.long.slots)):
+                    eng.long.slots[i].active = i in (0, 2)
+                assert eng._pick_rows(eng.long) == 4
+                eng.long.slots[5].active = True
+                assert eng._pick_rows(eng.long) == 8
+                eng.long.slots[7].active = True
+                assert eng._pick_rows(eng.long) == 8  # covers all real slots
+                for s in eng.long.slots:
+                    s.active = False
+                assert eng._pick_rows(eng.short) is None  # short: no ladder
+
+                ra = await asyncio.gather(
+                    *[eng.transcribe(a, SR, max_new_tokens=8) for a in small]
+                )
+                rb = await asyncio.gather(
+                    *[eng.transcribe(a, SR, max_new_tokens=8) for a in big]
+                )
+                return [r.tokens for r in ra + rb]
+            finally:
+                eng.shutdown()
+
+        got = _run(go())
+        for i, (g, w) in enumerate(zip(got, golden)):
+            np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
+
 
 class TestBaseLogitBias:
     def test_base_bias_applies_and_hotwords_stack(self, stack):

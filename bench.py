@@ -141,12 +141,25 @@ def main():
         assert all(c == file_budget for c in counts), counts
         return dt
 
+    async def run_single():
+        """One segment alone through the ENGINE (what /transcribe/file pays
+        for a short single upload): with the occupied-prefix rows ladder
+        the decode reads 1 slot's KV instead of the whole pool
+        (ROWS_DECODE_BENCH)."""
+        t0 = time.perf_counter()
+        r = await engine.transcribe(segments[0], sr, max_new_tokens=file_budget)
+        dt = time.perf_counter() - t0
+        assert len(r.tokens) == file_budget
+        return dt
+
     loop = asyncio.new_event_loop()
     loop.run_until_complete(run_batch())  # compile/settle
     dt = min(loop.run_until_complete(run_batch()) for _ in range(2))
+    single_dt = min(loop.run_until_complete(run_single()) for _ in range(2))
     engine.shutdown()
     loop.close()
     batched_rtf = dt / (n_seg * seg_seconds)
+    single_engine_rtf = single_dt / seg_seconds
 
     # ---- realtime multi-stream serving (north-star metric #1):
     # N concurrent 64 ms-chunk sessions through the device audio ring +
@@ -269,6 +282,8 @@ def main():
         "unit": "ratio",
         "vs_baseline": round(0.02 / batched_rtf, 3),
         "single_stream_rtf_30s": round(rtf, 5),
+        "file_single_segment_engine_rtf": round(single_engine_rtf, 5),
+        "file_single_segment_engine_wall_s": round(single_dt, 2),
         "p50_interim_ms": round(p50_interim_ms, 1),
         "decode_tokens_per_s_single_stream": round(decode_tps, 1),
         "batched_segments": n_seg,

@@ -696,9 +696,14 @@ class BatchedEngine:
         if mesh is None:
             # occupied-prefix decode (see _CachePool.rows_ladder): long-pool
             # only — the short pool's cache is too small to matter and a
-            # sharded slot axis cannot prefix-slice
+            # sharded slot axis cannot prefix-slice. Rungs 1/4/16: a SINGLE
+            # active final or file segment (the common production case —
+            # one upload, one utterance ending) decodes at B=1 cost; 4 and
+            # 16 cover small and mid final waves; denser rungs measured
+            # diminishing returns per compile (ROWS_DECODE_BENCH: 16 is
+            # already within 14% of full).
             self.long.rows_ladder = tuple(
-                r for r in (4, 8, 16) if r < len(self.long.slots) + 1
+                r for r in (1, 4, 16) if r < len(self.long.slots) + 1
             )
         self.pools = (self.short, self.long)
         # the SHORT pool's k ladder derives from short_budget: _pick_k picks

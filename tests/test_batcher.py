@@ -402,15 +402,15 @@ class TestSlotReuse:
         async def go():
             eng = BatchedEngine(tr, EnergyVad(), slots=8, max_decode_tokens=32)
             try:
-                assert eng.long.rows_ladder == (4, 8)
+                assert eng.long.rows_ladder == (1, 4)
                 # unit check of the prefix pick on synthetic occupancy
                 for i in range(len(eng.long.slots)):
-                    eng.long.slots[i].active = i in (0, 2)
+                    eng.long.slots[i].active = i == 0
+                assert eng._pick_rows(eng.long) == 1
+                eng.long.slots[2].active = True
                 assert eng._pick_rows(eng.long) == 4
                 eng.long.slots[5].active = True
-                assert eng._pick_rows(eng.long) == 8
-                eng.long.slots[7].active = True
-                assert eng._pick_rows(eng.long) == 8  # covers all real slots
+                assert eng._pick_rows(eng.long) is None  # past the ladder
                 for s in eng.long.slots:
                     s.active = False
                 assert eng._pick_rows(eng.short) is None  # short: no ladder

@@ -486,6 +486,10 @@ class _CachePool:
     slots: list = field(default_factory=list)
     compiled_prefill: set = field(default_factory=set)
     compiled_ring_prefill: set = field(default_factory=set)
+    # (k, rows) decode programs known-compiled; _pick_rows only returns a
+    # prefix rung whose (k, rung) is registered, so background (fast)
+    # warmup can defer rows variants without risking a mid-serving JIT
+    compiled_decode: set = field(default_factory=set)
 
     @property
     def n_active(self) -> int:
@@ -1029,7 +1033,9 @@ class BatchedEngine:
         else:
             loop.call_later(2.0, task.cancel)
 
-    def warmup(self, budgets=(15, 200, 256), full: bool = False) -> None:
+    def warmup(
+        self, budgets=(15, 200, 256), full: bool = False, fast: bool = False
+    ) -> None:
         """Compile the prefill-program grid, the decode-k ladders, and the
         VAD/scatter programs for BOTH cache pools (callable before the event
         loop starts).
@@ -1054,6 +1060,17 @@ class BatchedEngine:
         default-suffix big buckets (synchronized final/file waves admit in
         groups — COMMIT_LATENCY_BENCH), and B=1 elsewhere; `full=True`
         compiles every (bucket, B) pair.
+
+        `fast=True` = two-phase boot: only the CRITICAL subset blocks
+        (everything serving cannot run without — the whole short/interim
+        path, long-pool B=1 prefills, full-rows decode ladders, VAD,
+        scatter, the end-to-end exercise); the deferred programs (long-pool
+        B>1 group prefills, rows decode variants) AOT-compile on a
+        background thread and register as they land — the scheduler is
+        gated to registered programs, so until then finals admit as B=1
+        waves and decode full-pool. `warmup_join()` blocks until the
+        background pass finishes (benches call it for steady-state
+        numbers).
         """
         del budgets  # decode cost is per-k, not per-budget
         # the pass-1 -> pass-2 handoff rides the persistent compilation
@@ -1129,9 +1146,15 @@ class BatchedEngine:
         smallest_cb = min(self.chunk_buckets)
 
         def pass_over_grid(run) -> None:
-            """One full iteration of the program grid; `run(thunk)` either
-            executes it inline (dispatch pass) or submits it to the compile
-            pool (AOT pass, where each thunk only lowers+compiles)."""
+            """One full iteration of the program grid; `run(thunk,
+            deferred=...)` either executes it inline (dispatch pass) or
+            submits it to the compile pool (AOT pass, where each thunk only
+            lowers+compiles). `deferred=True` marks programs serving can
+            start WITHOUT (fast warmup compiles them in the background and
+            the scheduler is gated to registered programs): long-pool B>1
+            prefill groups (admission falls back to B=1 waves) and the
+            occupied-prefix decode rows variants (falls back to full-pool
+            decode)."""
             for pool in self.pools:
                 pool_choices = tuple(
                     b for b in self.prefill_batch_choices
@@ -1163,7 +1186,8 @@ class BatchedEngine:
                                 )
                                 pool.compiled_prefill.add((bucket, sb, B))
 
-                            run(host_prefill)
+                            run(host_prefill,
+                                deferred=pool is self.long and B > 1)
                 # the short pool's budgets never exceed short_budget, so its
                 # k ladder stops there — bigger programs would compile but
                 # never dispatch (_pick_k picks smallest k >= min remaining)
@@ -1173,10 +1197,17 @@ class BatchedEngine:
                     else _DECODE_K_CHOICES
                 )
                 for k in k_choices:
-                    for rows in pool.rows_ladder + (None,):
+                    # rows variants only for k >= 8: small-k programs run
+                    # few steps, so the prefix saving can't repay the extra
+                    # compiles, and _pick_rows returns full for them
+                    row_opts = (None,) + tuple(
+                        r for r in pool.rows_ladder if k >= 8
+                    )
+                    for rows in row_opts:
                         run(lambda pool=pool, k=k, rows=rows, lower_only=False:
                             self._dispatch_decode(
-                                pool, k, lower_only=lower_only, rows=rows))
+                                pool, k, lower_only=lower_only, rows=rows),
+                            deferred=rows is not None)
                 for cb in self.chunk_buckets:
                     fb = cb * 1024 // 160  # frame bucket for this chunk bucket
                     for sb in self.suffix_buckets:
@@ -1204,7 +1235,8 @@ class BatchedEngine:
                                 )
                                 pool.compiled_ring_prefill.add((cb, sb, B))
 
-                            run(ring_prefill)
+                            run(ring_prefill,
+                                deferred=pool is self.long and B > 1)
             if self.fuse_dual:
                 for k in self.dual_k_choices:
                     run(lambda k=k, lower_only=False:
@@ -1249,11 +1281,15 @@ class BatchedEngine:
 
         n_jobs = 0
         errors: list[Exception] = []
+        deferred_thunks: list = []
         with ThreadPoolExecutor(max_workers=16) as ex:
             futures = []
 
-            def submit(thunk):
+            def submit(thunk, deferred=False):
                 nonlocal n_jobs
+                if fast and deferred:
+                    deferred_thunks.append(thunk)
+                    return
                 n_jobs += 1
                 futures.append(ex.submit(thunk, lower_only=True))
 
@@ -1282,7 +1318,9 @@ class BatchedEngine:
         # pools up in the final drain)
         per_thunk_sync = bool(_os.environ.get("SONIC_WARMUP_SYNC"))
 
-        def replay(thunk):
+        def replay(thunk, deferred=False):
+            if fast and deferred:
+                return  # background-compiled; first dispatch is its replay
             t = time.perf_counter()
             thunk()
             if per_thunk_sync:
@@ -1341,6 +1379,46 @@ class BatchedEngine:
         phase_s["e2e_exercise"] = round(time.perf_counter() - t2, 1)
         self.stats["warmup_phase_s"] = phase_s
         self.stats["warmup_programs"] = n_jobs
+
+        # ---- fast mode: background AOT of the deferred programs ----
+        if deferred_thunks:
+            import threading
+
+            self.stats["warmup_background_pending"] = len(deferred_thunks)
+
+            def _bg() -> None:
+                # 4 threads: enough remote-compiler parallelism to finish in
+                # a couple of waves without starving live serving dispatches
+                # of tunnel bandwidth. lower_only never touches engine
+                # state, so this is safe alongside the scheduler; each thunk
+                # registers its program in the compiled_* set when done and
+                # the scheduler starts using it on the next tick.
+                with ThreadPoolExecutor(max_workers=4) as bex:
+                    futs = [
+                        bex.submit(t, lower_only=True) for t in deferred_thunks
+                    ]
+                    done = 0
+                    for f in futs:
+                        try:
+                            f.result()
+                        except Exception as e:  # pragma: no cover
+                            logger.warning("background warmup compile: %s", e)
+                        done += 1
+                        self.stats["warmup_background_pending"] = (
+                            len(deferred_thunks) - done
+                        )
+
+            self._bg_warmup = threading.Thread(
+                target=_bg, name="warmup-bg", daemon=True
+            )
+            self._bg_warmup.start()
+
+    def warmup_join(self, timeout: float | None = None) -> None:
+        """Block until fast-mode background warmup finishes (no-op
+        otherwise); benches call this before steady-state measurement."""
+        t = getattr(self, "_bg_warmup", None)
+        if t is not None:
+            t.join(timeout)
 
     # ---------------- device dispatch helpers ----------------
 
@@ -1525,9 +1603,12 @@ class BatchedEngine:
             pool.out_tokens, pool.n_emitted, pool.done,
         ) = out
 
-    def _pick_rows(self, pool: _CachePool) -> int | None:
+    def _pick_rows(self, pool: _CachePool, k: int) -> int | None:
         """Smallest compiled rows covering every active slot (occupied-
-        prefix decode, rows_ladder); None = the full pool."""
+        prefix decode, rows_ladder); None = the full pool. Only rungs whose
+        (k, rung) program is registered compiled are eligible (rows
+        variants compile for k >= 8 and may arrive late via background
+        warmup)."""
         if not pool.rows_ladder:
             return None
         high = 0
@@ -1535,7 +1616,7 @@ class BatchedEngine:
             if s.active:
                 high = i + 1
         for r in pool.rows_ladder:
-            if r >= high:
+            if r >= high and (k, r) in pool.compiled_decode:
                 return r
         return None
 
@@ -1564,6 +1645,7 @@ class BatchedEngine:
             kwargs={"rows": rows},
             lower_only=lower_only, donate_idx=(1, 2, 3, 4, 6, 7),
         )
+        pool.compiled_decode.add((k, rows))
         if lower_only:
             return None
         (
@@ -2357,7 +2439,7 @@ class BatchedEngine:
             return parked
         for pool in active:
             k = self._pick_k(pool)
-            status = self._dispatch_decode(pool, k, rows=self._pick_rows(pool))
+            status = self._dispatch_decode(pool, k, rows=self._pick_rows(pool, k))
             self._park(pool, status, k, parked)
         return parked
 

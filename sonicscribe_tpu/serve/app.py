@@ -643,6 +643,14 @@ def main(argv=None):
              "remaining pairs, e.g. hotword-suffix group prefills (slower "
              "first warmup, cached afterwards)",
     )
+    parser.add_argument(
+        "--warmup-fast", action="store_true",
+        help="two-phase boot: block only on the critical program subset "
+             "(the whole interim path, B=1 finals, full-pool decode); "
+             "long-pool group prefills and rows decode variants compile in "
+             "the background while serving — /health shows "
+             "warmup_background_pending until they land",
+    )
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: warmup drops from minutes to seconds
@@ -676,10 +684,13 @@ def main(argv=None):
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
     engine, vad, info = build_runtime(args.model, args.vad, config, args.engine)
-    if args.warmup_full and args.engine != "batched":
+    if (args.warmup_full or args.warmup_fast) and args.engine != "batched":
         logger.warning(
-            "--warmup-full only applies to --engine batched; ignoring it"
+            "--warmup-full/--warmup-fast only apply to --engine batched; "
+            "ignoring"
         )
+    if args.warmup_full and args.warmup_fast:
+        parser.error("--warmup-full and --warmup-fast are mutually exclusive")
     if not args.no_warmup:
         # pre-compile the realtime-critical programs so the first session
         # doesn't pay XLA compile latency (observed ~6.5 s on first interim)
@@ -693,7 +704,13 @@ def main(argv=None):
                 config.final_max_tokens,
                 config.file_max_new_tokens,
             ),
-            **({"full": True} if args.warmup_full and args.engine == "batched" else {}),
+            **(
+                {"full": True}
+                if args.warmup_full and args.engine == "batched"
+                else {"fast": True}
+                if args.warmup_fast and args.engine == "batched"
+                else {}
+            ),
         )
         warmup_s = _time.perf_counter() - t0
         info["warmup_s"] = round(warmup_s, 1)  # surfaced via /health

@@ -85,6 +85,13 @@ class AppConfig:
 
     # ---- TPU engine (new; no reference counterpart) ----
     quant_mode: str = field(default_factory=lambda: _env("QUANT_MODE", "native"))
+    # speculative finals: the final decode verifies the session's banked
+    # interim tokens w-at-a-time per weights-read (lossless — greedy-exact;
+    # engine verify path, tests/test_spec_decode.py)
+    speculative_finals: bool = field(
+        default_factory=lambda: _env("SPECULATIVE_FINALS", "true").lower()
+        in ("1", "true", "yes")
+    )
     decode_slots: int = field(default_factory=lambda: int(_env("DECODE_SLOTS", "32")))
     # mel-frame bucket sizes for prefill (static shapes for XLA)
     prefill_buckets: List[int] = field(

@@ -61,7 +61,12 @@ from sonicscribe_tpu.engine.transcriber import (
     TranscribeResult,
 )
 from sonicscribe_tpu.models.config import GlmAsrConfig
-from sonicscribe_tpu.models.glm_asr import decode_step, embed_tokens, prefill_kv
+from sonicscribe_tpu.models.glm_asr import (
+    decode_step,
+    embed_tokens,
+    prefill_kv,
+    verify_step,
+)
 from sonicscribe_tpu.models.tokenizer import build_prompt
 from sonicscribe_tpu.vad.model import WINDOW_SAMPLES
 
@@ -353,6 +358,142 @@ def _decode_k_program(
 
 @partial(
     jax.jit,
+    static_argnames=("cfg", "w", "n_rounds", "rows"),
+    # out_tokens (argnum 6) is NOT donated — see _decode_k_program
+    donate_argnums=(2, 3, 4, 5, 7, 8, 12),
+)
+def _verify_rounds_program(
+    params,
+    cfg: GlmAsrConfig,
+    cache_k,
+    cache_v,
+    cache_len,
+    last_tok,  # [S] i32
+    out_tokens,  # [S, MAX_NEW] i32
+    n_emitted,  # [S] i32
+    done,  # [S] bool
+    bias,  # [S, V] f32
+    budgets,  # [S] i32
+    draft,  # [S, MAX_DRAFT] i32 (NOT donated: rounds only read it)
+    draft_pos,  # [S] i32 (donated)
+    draft_len,  # [S] i32
+    w: int,  # draft tokens verified per round (W1 = w+1 query positions)
+    n_rounds: int,
+    rows: int | None = None,
+):
+    """`n_rounds` speculative verification rounds for the whole pool —
+    the speculative-finals fast path (DRAFTED slots emit up to w+1 tokens
+    per weights-read; undrafted actives degenerate to 1 token/round, the
+    same HBM cost as a decode step).
+
+    Per round, per slot: feed [last_tok, d_0..d_{w-1}] through verify_step
+    (one forward, w+1 causal query positions), greedy-pick g_j at every
+    position, accept the longest prefix where d_j == g_j, and emit
+    d_0..d_{a-1} plus the correction/extension g_a — EXACTLY the tokens
+    sequential greedy decode would emit (lossless; test_spec_decode.py).
+    First emitted EOS and the slot budget truncate the emission; on a
+    draft mismatch the rest of the draft is discarded (it predicted a
+    continuation greedy rejected). All bookkeeping — acceptance cumprod,
+    EOS scan, budget clamp, out_tokens scatter, cache_len advance, draft
+    cursor — is device-side, so rounds chain inside one lax.scan with no
+    host round trips, preserving the scheduler's pipelined-tick contract
+    (same ±(n+1) status rows as _decode_k_program).
+
+    `rows`: occupied-prefix slicing, same contract as _decode_k_program.
+    """
+    S, MAX_NEW = out_tokens.shape
+    MAXD = draft.shape[1]
+    R = S if rows is None else min(rows, S)
+    b_idx = jnp.arange(R)
+    j_idx = jnp.arange(w + 1)
+    bias_r = bias[:R]
+    bud_r = budgets[:R]
+    draft_r = draft[:R]
+    dlen_r = draft_len[:R]
+    pad = jnp.int32(cfg.pad_id)
+    zero5 = (0, 0, 0, 0, 0)
+
+    def round_fn(carry, _):
+        ck, cv, cl, tok, out, n, dn, dpos = carry
+        tok_r, n_r, dn_r, dpos_r = tok[:R], n[:R], dn[:R], dpos[:R]
+        # next w draft tokens per slot (device-resident draft)
+        idx = dpos_r[:, None] + j_idx[None, :w]
+        have = idx < dlen_r[:, None]
+        dtoks = jnp.where(
+            have, draft_r[b_idx[:, None], jnp.clip(idx, 0, MAXD - 1)], pad
+        )
+        inputs = jnp.concatenate([tok_r[:, None], dtoks], axis=1)  # [R, w+1]
+        cache = {"k": ck[:, :R], "v": cv[:, :R], "len": cl[:R]}
+        cache, logits = verify_step(params, cfg, cache, inputs, active=~dn_r)
+        ck = jax.lax.dynamic_update_slice(ck, cache["k"], zero5)
+        cv = jax.lax.dynamic_update_slice(cv, cache["v"], zero5)
+        g = jnp.argmax(logits + bias_r[:, None, :], -1).astype(jnp.int32)
+
+        # longest accepted draft prefix
+        match = have & (dtoks == g[:, :w])
+        acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
+        a = acc.sum(axis=1)  # [R]
+        # emitted candidates e_0..e_a: draft for j<a, greedy correction at a
+        dt_pad = jnp.concatenate([dtoks, dtoks[:, -1:]], axis=1)  # [R, w+1]
+        e = jnp.where(j_idx[None, :] < a[:, None], dt_pad, g)
+        # first EOS within the emitted window truncates
+        eos_at = (e == cfg.eos_id) & (j_idx[None, :] <= a[:, None])
+        any_eos = eos_at.any(axis=1)
+        first_eos = jnp.argmax(eos_at, axis=1)
+        m = jnp.where(any_eos, first_eos + 1, a + 1)
+        m = jnp.minimum(m, jnp.maximum(bud_r - n_r, 0))
+        m = jnp.where(dn_r, 0, m)
+
+        # scatter the emitted tokens into out at n..n+m-1
+        wpos = jnp.minimum(n_r[:, None] + j_idx[None, :], MAX_NEW - 1)
+        keep = j_idx[None, :] < m[:, None]
+        cur = out[b_idx[:, None], wpos]
+        out = out.at[b_idx[:, None], wpos].set(jnp.where(keep, e, cur))
+
+        n2 = n_r + m
+        emitted_eos = (eos_at & keep).any(axis=1)
+        dn2 = dn_r | emitted_eos | (n2 >= bud_r)
+        # valid cache grows by the emitted count (inputs x_0..x_{m-1});
+        # the last emitted token's K/V is NOT in cache — it is next
+        # round's x_0, exactly like decode_step's contract
+        cl = cl.at[:R].set(jnp.where(m > 0, cl[:R] + m, cl[:R]))
+        tok2 = jnp.where(m > 0, e[b_idx, jnp.maximum(m - 1, 0)], tok_r)
+        # draft cursor: consume accepted tokens; a mismatch (a < available)
+        # invalidates the remainder
+        avail = jnp.maximum(jnp.minimum(w, dlen_r - dpos_r), 0)
+        diverged = (a < avail) & ~dn_r
+        dpos2 = jnp.where(diverged, dlen_r, dpos_r + a)
+
+        tok = jax.lax.dynamic_update_slice(tok, tok2, (0,))
+        n = jax.lax.dynamic_update_slice(n, n2, (0,))
+        dn = jax.lax.dynamic_update_slice(dn, dn2, (0,))
+        dpos = jax.lax.dynamic_update_slice(dpos, dpos2, (0,))
+        return (ck, cv, cl, tok, out, n, dn, dpos), None
+
+    (cache_k, cache_v, cache_len, last_tok, out_tokens, n_emitted, done,
+     draft_pos), _ = jax.lax.scan(
+        round_fn,
+        (cache_k, cache_v, cache_len, last_tok, out_tokens, n_emitted, done,
+         draft_pos),
+        None,
+        length=n_rounds,
+    )
+    status = jnp.where(done, -(n_emitted + 1), n_emitted + 1)
+    return (
+        cache_k,
+        cache_v,
+        cache_len,
+        last_tok,
+        out_tokens,
+        n_emitted,
+        done,
+        draft_pos,
+        status,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("cfg", "k_steps"),
     # out_tokens (argnums 6, 15) are not donated — see _decode_k_program
     donate_argnums=(2, 3, 4, 5, 7, 8, 11, 12, 13, 14, 16, 17),
@@ -444,6 +585,7 @@ class _SlotState:
     budget: int = 0
     active: bool = False
     steps_seen: int = 0  # decode steps dispatched while this slot was active
+    drafted: bool = False  # admitted with a speculative draft (verify path)
 
 
 @dataclass
@@ -482,6 +624,11 @@ class _CachePool:
     done: Any = None
     bias: Any = None
     budgets: Any = None
+    # speculative-finals draft state (device-resident so verify rounds chain
+    # without host round trips): draft token buffer + per-slot cursor/length
+    draft: Any = None
+    draft_pos: Any = None
+    draft_len: Any = None
     bias_dirty: list = field(default_factory=list)
     slots: list = field(default_factory=list)
     compiled_prefill: set = field(default_factory=set)
@@ -490,6 +637,9 @@ class _CachePool:
     # prefix rung whose (k, rung) is registered, so background (fast)
     # warmup can defer rows variants without risking a mid-serving JIT
     compiled_decode: set = field(default_factory=set)
+    # (n_rounds, rows) verify programs known-compiled (speculative finals);
+    # the dispatch falls back to plain k-step decode until registered
+    compiled_verify: set = field(default_factory=set)
 
     @property
     def n_active(self) -> int:
@@ -513,6 +663,9 @@ class _TranscribeReq:
     # bounce loop between the estimate and the real bucket)
     pool_hint: Any = None
     t_admit: float = 0.0  # set when the prefill program is dispatched
+    # speculative draft: the session's predicted token sequence (usually the
+    # banked interim tokens); verified losslessly, never trusted
+    draft_tokens: Any = None
 
 
 @dataclass
@@ -540,6 +693,7 @@ class _RingTranscribeReq:
     future: asyncio.Future
     t_enqueue: float
     t_admit: float = 0.0  # set when the prefill program is dispatched
+    draft_tokens: Any = None  # speculative draft (see _TranscribeReq)
 
 
 class BatchedEngine:
@@ -666,6 +820,12 @@ class BatchedEngine:
                     + (0.0 if self._base_bias is None else self._base_bias[None])
                 ),
                 budgets=_shard(jnp.zeros((rows,), jnp.int32)),
+                draft=_shard(
+                    jnp.full((rows, max(out_width, 1)), self.cfg.pad_id,
+                             jnp.int32)
+                ),
+                draft_pos=_shard(jnp.zeros((rows,), jnp.int32)),
+                draft_len=_shard(jnp.zeros((rows,), jnp.int32)),
                 bias_dirty=[False] * rows,
                 slots=[_SlotState() for _ in range(n_slots)],
             )
@@ -709,6 +869,14 @@ class BatchedEngine:
             self.long.rows_ladder = tuple(
                 r for r in (1, 4, 16) if r < len(self.long.slots) + 1
             )
+        # speculative finals (verify_step): drafted long-pool requests
+        # verify spec_w draft tokens per weights-read instead of 1-token
+        # steps — lossless (greedy-exact), tested in test_spec_decode.py.
+        # Disabled under a mesh (the verify grid is single-chip for now).
+        self.speculative = mesh is None
+        self.spec_w = 8
+        self.verify_rounds_choices = (1, 2, 4, 8)
+        self._warmed = False  # set by warmup(); gates compiled-grid-only dispatch
         self.pools = (self.short, self.long)
         # the SHORT pool's k ladder derives from short_budget: _pick_k picks
         # the smallest choice >= min remaining <= short_budget-1, so the
@@ -915,6 +1083,7 @@ class BatchedEngine:
         sample_rate: int,
         max_new_tokens: int,
         hotwords: Optional[list[str]] = None,
+        draft_tokens=None,
     ) -> TranscribeResult:
         await self.start()
         fut = asyncio.get_running_loop().create_future()
@@ -926,6 +1095,7 @@ class BatchedEngine:
                 hotwords,
                 fut,
                 time.perf_counter(),
+                draft_tokens=draft_tokens,
             )
         )
         self._wake.set()
@@ -990,6 +1160,7 @@ class BatchedEngine:
         max_new_tokens: int,
         hotwords: Optional[list[str]] = None,
         duration_s: float = 0.0,
+        draft_tokens=None,
     ) -> TranscribeResult:
         """Transcribe ring chunks [start_chunk, start_chunk+chunk_count) —
         zero audio upload."""
@@ -1005,6 +1176,7 @@ class BatchedEngine:
                 duration_s or chunk_count * 1024 / 16000.0,
                 fut,
                 time.perf_counter(),
+                draft_tokens=draft_tokens,
             )
         )
         self._wake.set()
@@ -1208,6 +1380,19 @@ class BatchedEngine:
                             self._dispatch_decode(
                                 pool, k, lower_only=lower_only, rows=rows),
                             deferred=rows is not None)
+                if self.speculative and pool is self.long:
+                    # speculative-finals verify grid (all deferred: until
+                    # registered, drafted finals fall back to k-step decode)
+                    for r in self.verify_rounds_choices:
+                        for rows in (None,) + tuple(
+                            rw for rw in pool.rows_ladder if rw in (1, 4)
+                        ):
+                            run(lambda pool=pool, r=r, rows=rows,
+                                lower_only=False:
+                                self._dispatch_verify(
+                                    pool, r, lower_only=lower_only,
+                                    rows=rows),
+                                deferred=True)
                 for cb in self.chunk_buckets:
                     fb = cb * 1024 // 160  # frame bucket for this chunk bucket
                     for sb in self.suffix_buckets:
@@ -1379,6 +1564,7 @@ class BatchedEngine:
         phase_s["e2e_exercise"] = round(time.perf_counter() - t2, 1)
         self.stats["warmup_phase_s"] = phase_s
         self.stats["warmup_programs"] = n_jobs
+        self._warmed = True
 
         # ---- fast mode: background AOT of the deferred programs ----
         if deferred_thunks:
@@ -1660,6 +1846,50 @@ class BatchedEngine:
         ) = out
         return status
 
+    def _dispatch_verify(
+        self, pool: _CachePool, n_rounds: int, lower_only: bool = False,
+        rows: int | None = None,
+    ):
+        """Speculative verify rounds (see _verify_rounds_program). Same
+        parked-status contract as _dispatch_decode."""
+        args = (
+            self.transcriber.params,
+            self.cfg,
+            pool.cache_k,
+            pool.cache_v,
+            pool.cache_len,
+            pool.last_tok,
+            pool.out_tokens,
+            pool.n_emitted,
+            pool.done,
+            pool.bias,
+            pool.budgets,
+            pool.draft,
+            pool.draft_pos,
+            pool.draft_len,
+        )
+        key = ("verify", pool.name, self.spec_w, n_rounds, rows)
+        out = self._run_program(
+            key, _verify_rounds_program, args, args[:1] + args[2:14],
+            kwargs={"w": self.spec_w, "n_rounds": n_rounds, "rows": rows},
+            lower_only=lower_only, donate_idx=(1, 2, 3, 4, 6, 7, 11),
+        )
+        pool.compiled_verify.add((n_rounds, rows))
+        if lower_only:
+            return None
+        (
+            pool.cache_k,
+            pool.cache_v,
+            pool.cache_len,
+            pool.last_tok,
+            pool.out_tokens,
+            pool.n_emitted,
+            pool.done,
+            pool.draft_pos,
+            status,
+        ) = out
+        return status
+
     def _dispatch_decode_dual(self, k: int, lower_only: bool = False):
         """K steps for BOTH pools in one program (weights stream once).
         Returns (status_short, status_long) device handles."""
@@ -1790,6 +2020,7 @@ class BatchedEngine:
                     fail(s.request.future)
                 s.active = False
                 s.request = None
+                s.drafted = False
         backlogs = self._ring_backlog + self._host_backlog
         self._ring_backlog, self._host_backlog = [], []
         for req in backlogs:
@@ -2156,6 +2387,13 @@ class BatchedEngine:
             bias_ids = tr._hotword_token_ids(req.hotwords) if req.hotwords else None
             sbb.append((slot_list[j], bias_ids, req.max_new_tokens))
         self._set_slot_bias_budget(pool, sbb)
+        self._set_slot_drafts(
+            pool,
+            [
+                (slot_idx, getattr(req, "draft_tokens", None))
+                for req, slot_idx in zip(items, slot_list)
+            ],
+        )
         if prefix is None:
             prompt = build_prompt(tr.tokenizer, self.cfg)
             prefix = prompt.prefix_ids
@@ -2186,6 +2424,42 @@ class BatchedEngine:
             st.steps_seen = 0
         self.stats["prefills"] += len(items)
         self.stats["prefill_programs"] = self.stats.get("prefill_programs", 0) + 1
+
+    def _set_slot_drafts(self, pool: _CachePool, slot_drafts: list) -> None:
+        """(slot, draft_tokens|None) pairs for one admit group — one batched
+        device write of the speculative draft buffers. The first draft token
+        is STRIPPED: prefill emits the first greedy token itself (tok0), and
+        the draft's token 0 is the session's prediction of exactly that —
+        when the bet misses, the first verify round rejects everything and
+        the request decodes normally (lossless either way). Slots admitted
+        WITHOUT a draft get draft_len=0, which degrades the verify program
+        to 1 token/round for them (same HBM cost as a decode step)."""
+        W = pool.draft.shape[1]
+        rows, lens, slots = [], [], []
+        for slot, d in slot_drafts:
+            use = (
+                self.speculative
+                and pool is not self.short
+                and d is not None
+                and len(d) > 1
+            )
+            if use:
+                dd = np.asarray(d, np.int32)[1 : W + 1]
+                row = np.full((W,), self.cfg.pad_id, np.int32)
+                row[: len(dd)] = dd
+                rows.append(row)
+                lens.append(len(dd))
+            else:
+                rows.append(np.full((W,), self.cfg.pad_id, np.int32))
+                lens.append(0)
+            slots.append(slot)
+            pool.slots[slot].drafted = bool(use)
+        idx = jnp.asarray(slots, jnp.int32)
+        pool.draft = pool.draft.at[idx].set(jnp.asarray(np.stack(rows)))
+        pool.draft_len = pool.draft_len.at[idx].set(
+            jnp.asarray(lens, jnp.int32)
+        )
+        pool.draft_pos = pool.draft_pos.at[idx].set(0)
 
     def _set_slot_bias_budget(self, pool: _CachePool, slot_bias_budget: list) -> None:
         """(slot, bias_ids|None, budget) triples for one admit group — one
@@ -2314,6 +2588,13 @@ class BatchedEngine:
                 for (req, prep), slot_idx in zip(items, slot_list)
             ],
         )
+        self._set_slot_drafts(
+            pool,
+            [
+                (slot_idx, getattr(req, "draft_tokens", None))
+                for (req, _), slot_idx in zip(items, slot_list)
+            ],
+        )
 
         try:
             self._dispatch_prefill_group(
@@ -2439,9 +2720,57 @@ class BatchedEngine:
             return parked
         for pool in active:
             k = self._pick_k(pool)
+            rounds = self._pick_verify_rounds(pool, k)
+            if rounds is not None:
+                rows = self._pick_verify_rows(pool, rounds)
+                status = self._dispatch_verify(pool, rounds, rows=rows)
+                self.stats["verify_rounds"] = (
+                    self.stats.get("verify_rounds", 0) + rounds
+                )
+                self._park(pool, status, rounds, parked)
+                continue
             status = self._dispatch_decode(pool, k, rows=self._pick_rows(pool, k))
             self._park(pool, status, k, parked)
         return parked
+
+    def _pick_verify_rounds(self, pool: _CachePool, k: int) -> int | None:
+        """Use the speculative verify path when a DRAFTED slot is live in
+        this pool: rounds = k clamped to the compiled verify ladder (one
+        round costs ~one decode step of HBM, so the same k caps bound the
+        interim-facing latency; drafted slots emit up to w+1 tokens per
+        round, undrafted actives exactly 1 — bandwidth-neutral for them).
+        None = use the plain k-step program."""
+        if not self.speculative or pool is self.short:
+            return None
+        if not any(s.active and s.drafted for s in pool.slots):
+            return None
+        choices = sorted(
+            {r for r, rw in pool.compiled_verify if rw is None}
+        )
+        if not choices:
+            if self._warmed:
+                return None  # verify grid not registered yet (fast warmup)
+            # un-warmed engine (tests/dev): JIT on demand like every other
+            # program before warmup
+            choices = sorted(self.verify_rounds_choices)
+        for r in reversed(choices):
+            if r <= k:
+                return r
+        return choices[0]
+
+    def _pick_verify_rows(self, pool: _CachePool, rounds: int) -> int | None:
+        """Occupied-prefix rung for the verify program (same contract as
+        _pick_rows, gated on compiled_verify)."""
+        if not pool.rows_ladder:
+            return None
+        high = 0
+        for i, s in enumerate(pool.slots):
+            if s.active:
+                high = i + 1
+        for r in pool.rows_ladder:
+            if r >= high and (rounds, r) in pool.compiled_verify:
+                return r
+        return None
 
     def _reap_decode(
         self, pool: _CachePool, status: np.ndarray, rows: np.ndarray, reqs: list
@@ -2503,6 +2832,7 @@ class BatchedEngine:
             lat["tokens"].append(n_tokens)
         st.active = False
         st.request = None
+        st.drafted = False
         if not req.future.done():
             req.future.get_loop().call_soon_threadsafe(req.future.set_result, result)
 

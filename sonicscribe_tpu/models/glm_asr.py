@@ -555,6 +555,82 @@ def decode_step(
     return cache, _lm_logits(params, cfg, h)
 
 
+def verify_step(
+    params: Params,
+    cfg: GlmAsrConfig,
+    cache: Cache,
+    tokens: jnp.ndarray,  # [B, W1] int32: x_0 (last emitted) + W draft tokens
+    active: jnp.ndarray | None = None,  # [B] bool; inactive rows' len is the
+    # caller's concern (verify never advances len itself)
+) -> Tuple[Cache, jnp.ndarray]:
+    """One speculative VERIFICATION step: W1 query positions per slot in a
+    single forward pass (one weights-read emits up to W1 greedy tokens).
+
+    logits[:, j] is the next-token distribution after x_0..x_j — i.e. the
+    greedy token the sequential decode_step would produce at that point.
+    K/V for ALL W1 inputs are written at positions len..len+W1-1 (mode=
+    "drop" past max_len); entries beyond the caller's accepted prefix are
+    garbage above the returned `len` and get overwritten by later rounds,
+    exactly like decode_step's frozen-slot writes. `cache["len"]` is
+    returned UNCHANGED — the caller advances it by its accepted count.
+
+    Numerics match decode_step's in-scan form token-for-token: the same
+    QKV/RoPE helpers at the same positions, k/v cast to the cache dtype
+    BEFORE attention, and query j attends cache positions <= len+j (its
+    own just-written K plus this round's earlier inputs plus history) —
+    the identical key set the sequential path would have stored. The TPU
+    cost model: decode is HBM-bound (weights + KV read per step), so W1
+    queries cost the same bandwidth as one decode_step; only the (cheap,
+    MXU-friendly) projection/MLP FLOPs scale with W1.
+
+    Drives the speculative-finals path (engine/batcher.py
+    _verify_rounds_program); no reference counterpart — the reference
+    decodes finals token-by-token (backend/asr.py:407-422).
+    """
+    dec = cfg.decoder
+    B, W1 = tokens.shape
+    max_len = cache["k"].shape[2]
+    pos0 = cache["len"]  # [B]
+    if active is None:
+        active = jnp.ones((B,), bool)
+
+    qpos = pos0[:, None] + jnp.arange(W1, dtype=pos0.dtype)[None, :]  # [B, W1]
+    x = embed_tokens(params, tokens)  # [B, W1, D]
+    cos, sin, rot = _rope_tables(dec, qpos)  # [B, W1, rot//2]
+
+    kpos = jnp.arange(max_len, dtype=jnp.int32)
+    # query j may attend every position <= len+j (history + this round's
+    # inputs up to and including itself)
+    valid = kpos[None, None, :] <= qpos[:, :, None]  # [B, W1, M]
+
+    b_idx = jnp.arange(B)
+    scale = 1.0 / math.sqrt(dec.head_dim)
+
+    def body(h, layer):
+        lp, k_cache, v_cache = layer
+        hn = _rms_norm(h, lp["ln1_scale"], dec.rms_eps)
+        q, k_new, v_new = _decoder_qkv(lp, hn, dec)  # [B, W1, nh/nkv, hd]
+        q = _apply_rope(q, cos, sin, rot)
+        k_new = _apply_rope(k_new, cos, sin, rot).astype(k_cache.dtype)
+        v_new = v_new.astype(v_cache.dtype)
+        k_cache = k_cache.at[b_idx[:, None], qpos].set(k_new, mode="drop")
+        v_cache = v_cache.at[b_idx[:, None], qpos].set(v_new, mode="drop")
+        scores = _gqa_scores(q, k_cache) * scale  # [B, nkv, g, W1, M]
+        scores = jnp.where(valid[:, None, None, :, :], scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+        ctx = _gqa_context(attn, v_cache)  # [B, W1, nh*hd]
+        h = h + matmul(ctx, lp["o_w"])
+        h = _decoder_layer_mlp(h, lp, dec)
+        return h, (k_cache, v_cache)
+
+    h, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["decoder"]["layers"], cache["k"], cache["v"])
+    )
+    del active  # len advance (and thus frozen-row semantics) is caller-side
+    cache = {"k": cache_k, "v": cache_v, "len": pos0}
+    return cache, _lm_logits(params, cfg, h)
+
+
 def decode_step_dual(
     params: Params,
     cfg: GlmAsrConfig,

@@ -38,7 +38,10 @@ class ThreadedEngine:
         sample_rate: int,
         max_new_tokens: int,
         hotwords: Optional[list[str]] = None,
+        draft_tokens=None,  # accepted for interface parity; the threaded
+        # engine decodes sequentially and gains nothing from speculation
     ) -> TranscribeResult:
+        del draft_tokens
         loop = asyncio.get_running_loop()
         return await loop.run_in_executor(
             self._pool,

@@ -75,6 +75,11 @@ class StreamSession:
         self._saved_interim_text = ""
         self._last_interim_current = ""
         self._last_interim_start: Optional[int] = None
+        # speculative-finals draft: interim TOKENS banked alongside the text
+        # (same window-slide semantics); the final's decode verifies them
+        # losslessly (engine verify path, test_spec_decode.py)
+        self._draft_banked: list = []
+        self._last_interim_tokens = None
         self._decode_lock = asyncio.Lock()
         self._tasks: set[asyncio.Task] = set()
         # VAD windows are processed by a per-session worker task so that (a)
@@ -149,6 +154,8 @@ class StreamSession:
             self._last_interim_current = ""
             self._last_interim_start = None
             self._last_interim_t = self.clock()
+            self._draft_banked = []
+            self._last_interim_tokens = None
         elif ev.state_changed and ev.speech_end_chunk is not None:
             seg = self.buffer.finalize_segment(ev.speech_end_chunk)
             if seg is not None:
@@ -176,9 +183,11 @@ class StreamSession:
         self._spawn(self._run_interim(*window))
 
     async def _transcribe_range(
-        self, audio, start_id: int, end_id: int, max_new_tokens: int
+        self, audio, start_id: int, end_id: int, max_new_tokens: int,
+        draft_tokens=None,
     ):
         """Dispatch to the zero-upload ring path when available."""
+        extra = {"draft_tokens": draft_tokens} if draft_tokens is not None else {}
         if self.stream_idx is not None:
             return await self.engine.transcribe_ring(
                 self.stream_idx,
@@ -188,13 +197,34 @@ class StreamSession:
                 hotwords=self.hotwords or None,
                 duration_s=(end_id - start_id + 1)
                 * self.config.audio_chunk_duration_ms / 1000.0,
+                **extra,
             )
         return await self.engine.transcribe(
             audio,
             self.config.audio_sample_rate,
             max_new_tokens=max_new_tokens,
             hotwords=self.hotwords or None,
+            **extra,
         )
+
+    def _segment_draft(self):
+        """Banked + current interim tokens for the open segment — the
+        speculative draft for its final decode. The interim windows covered
+        the same audio with the same model, so with real weights the
+        final's greedy output largely re-derives this sequence; the verify
+        path accepts matching spans w tokens per weights-read and rejects
+        the rest at zero quality cost (lossless)."""
+        if not self.config.speculative_finals:
+            return None
+        parts = list(self._draft_banked)
+        if self._last_interim_tokens is not None:
+            parts.append(self._last_interim_tokens)
+        if not parts:
+            return None
+        import numpy as np
+
+        d = np.concatenate([np.asarray(p, np.int32) for p in parts])
+        return d if len(d) > 1 else None
 
     async def _run_interim(self, audio, start_id: int, end_id: int) -> None:
         if self._decode_lock.locked():
@@ -215,8 +245,11 @@ class StreamSession:
                 and start_id > self._last_interim_start
             ):
                 self._saved_interim_text += self._last_interim_current
+                if self._last_interim_tokens is not None:
+                    self._draft_banked.append(self._last_interim_tokens)
             self._last_interim_start = start_id
             self._last_interim_current = result.text
+            self._last_interim_tokens = result.tokens
             if not self.active:
                 return
             await self.send(
@@ -250,6 +283,7 @@ class StreamSession:
                     result = await self._transcribe_range(
                         audio, start_id, end_id,
                         self.config.final_token_budget(duration),
+                        draft_tokens=self._segment_draft(),
                     )
                     seg.transcript = result.text
                     await self._send_committed(

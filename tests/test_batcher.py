@@ -404,16 +404,19 @@ class TestSlotReuse:
             try:
                 assert eng.long.rows_ladder == (1, 4)
                 # unit check of the prefix pick on synthetic occupancy
+                # (_pick_rows is gated on registered programs)
+                eng.long.compiled_decode |= {(8, 1), (8, 4), (8, None)}
                 for i in range(len(eng.long.slots)):
                     eng.long.slots[i].active = i == 0
-                assert eng._pick_rows(eng.long) == 1
+                assert eng._pick_rows(eng.long, 8) == 1
+                assert eng._pick_rows(eng.long, 2) is None  # unregistered k
                 eng.long.slots[2].active = True
-                assert eng._pick_rows(eng.long) == 4
+                assert eng._pick_rows(eng.long, 8) == 4
                 eng.long.slots[5].active = True
-                assert eng._pick_rows(eng.long) is None  # past the ladder
+                assert eng._pick_rows(eng.long, 8) is None  # past the ladder
                 for s in eng.long.slots:
                     s.active = False
-                assert eng._pick_rows(eng.short) is None  # short: no ladder
+                assert eng._pick_rows(eng.short, 8) is None  # short: no ladder
 
                 ra = await asyncio.gather(
                     *[eng.transcribe(a, SR, max_new_tokens=8) for a in small]

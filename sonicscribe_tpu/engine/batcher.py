@@ -73,6 +73,10 @@ from sonicscribe_tpu.vad.model import WINDOW_SAMPLES
 logger = logging.getLogger(__name__)
 
 _DECODE_K_CHOICES = (1, 2, 4, 8, 16, 32, 64)
+# status-row flag (verify programs only): positive status + this bit means
+# the slot's speculative draft still has unconsumed tokens. Far above any
+# n_emitted+1 (MAX_NEW is budget-bounded, << 2^16), never on negatives.
+_SPEC_LIVE_FLAG = 1 << 16
 # coarse VAD batch ladder: ring-path padding rows are free (device slices,
 # no upload) and host-path padding costs ~40 KB/row of upload on the rare
 # overflow/threaded path — fewer buckets means fewer compiled programs,
@@ -478,7 +482,17 @@ def _verify_rounds_program(
         None,
         length=n_rounds,
     )
-    status = jnp.where(done, -(n_emitted + 1), n_emitted + 1)
+    # not-done slots whose draft still has unconsumed tokens carry the
+    # spec-live flag in their status row; the host clears `drafted` when it
+    # sees a positive status WITHOUT it, so draft-exhausted slots return to
+    # the plain k-escalated decode ladder (up to long_idle_k_cap steps per
+    # dispatch vs this program's <= max(verify_rounds_choices) rounds)
+    spec_live = (~done) & (draft_pos < draft_len)
+    status = jnp.where(
+        done,
+        -(n_emitted + 1),
+        n_emitted + 1 + jnp.where(spec_live, _SPEC_LIVE_FLAG, 0),
+    )
     return (
         cache_k,
         cache_v,
@@ -586,6 +600,11 @@ class _SlotState:
     active: bool = False
     steps_seen: int = 0  # decode steps dispatched while this slot was active
     drafted: bool = False  # admitted with a speculative draft (verify path)
+    # host estimate of remaining USEFUL verify rounds: ceil(draft_len/w)
+    # at admit, minus rounds dispatched. The parked-status _SPEC_LIVE_FLAG
+    # arrives a tick late (pipelining), so this countdown bounds how long a
+    # spent draft can pin the slot to the verify ladder
+    spec_rounds: int = 0
 
 
 @dataclass
@@ -876,6 +895,16 @@ class BatchedEngine:
         self.speculative = mesh is None
         self.spec_w = 8
         self.verify_rounds_choices = (1, 2, 4, 8)
+        # adaptive gate: measured draft acceptance (matching-prefix fraction,
+        # EMA over finished drafted requests). Below the floor, drafts are
+        # RECEIVED but not SPENT (no verify rounds) — and since acceptance is
+        # measured against the plain greedy output too (what verification
+        # would have compared), the EMA recovers by itself when the workload
+        # turns predictable again. Real checkpoints sit high (interims
+        # transcribed the same audio); the floor exists for the regimes
+        # where interim/final outputs genuinely diverge.
+        self.spec_accept_ema = 1.0
+        self.spec_accept_min = 0.35
         self._warmed = False  # set by warmup(); gates compiled-grid-only dispatch
         self.pools = (self.short, self.long)
         # the SHORT pool's k ladder derives from short_budget: _pick_k picks
@@ -2442,6 +2471,7 @@ class BatchedEngine:
                 and pool is not self.short
                 and d is not None
                 and len(d) > 1
+                and self.spec_accept_ema >= self.spec_accept_min
             )
             if use:
                 dd = np.asarray(d, np.int32)[1 : W + 1]
@@ -2454,6 +2484,9 @@ class BatchedEngine:
                 lens.append(0)
             slots.append(slot)
             pool.slots[slot].drafted = bool(use)
+            pool.slots[slot].spec_rounds = (
+                -(-lens[-1] // self.spec_w) if use else 0
+            )
         idx = jnp.asarray(slots, jnp.int32)
         pool.draft = pool.draft.at[idx].set(jnp.asarray(np.stack(rows)))
         pool.draft_len = pool.draft_len.at[idx].set(
@@ -2727,6 +2760,17 @@ class BatchedEngine:
                 self.stats["verify_rounds"] = (
                     self.stats.get("verify_rounds", 0) + rounds
                 )
+                for s in pool.slots:
+                    if s.active and s.drafted:
+                        s.spec_rounds -= rounds
+                        if s.spec_rounds <= 0:
+                            # best-case consumption would have spent the
+                            # draft by now; on rejection the device already
+                            # invalidated it. Either way further verify
+                            # rounds are 1-token rounds — go back to the
+                            # plain ladder without waiting for the (one
+                            # tick late) _SPEC_LIVE_FLAG status
+                            s.drafted = False
                 self._park(pool, status, rounds, parked)
                 continue
             status = self._dispatch_decode(pool, k, rows=self._pick_rows(pool, k))
@@ -2739,7 +2783,10 @@ class BatchedEngine:
         round costs ~one decode step of HBM, so the same k caps bound the
         interim-facing latency; drafted slots emit up to w+1 tokens per
         round, undrafted actives exactly 1 — bandwidth-neutral for them).
-        None = use the plain k-step program."""
+        None = use the plain k-step program. Slots whose draft is exhausted
+        clear `drafted` via the _SPEC_LIVE_FLAG status bit (_reap_decode),
+        so a pool with only spent drafts returns to the plain ladder (k up
+        to long_idle_k_cap per dispatch, vs max 8 verify rounds)."""
         if not self.speculative or pool is self.short:
             return None
         if not any(s.active and s.drafted for s in pool.slots):
@@ -2753,10 +2800,19 @@ class BatchedEngine:
             # un-warmed engine (tests/dev): JIT on demand like every other
             # program before warmup
             choices = sorted(self.verify_rounds_choices)
-        for r in reversed(choices):
-            if r <= k:
-                return r
-        return choices[0]
+        # size by NEED, not by k: rounds beyond the drafts' remaining
+        # coverage are 1-token rounds (strictly worse than plain decode
+        # steps at the same HBM cost), so pick the smallest compiled choice
+        # covering the deepest live draft, clamped to the k cap
+        needed = max(
+            (s.spec_rounds for s in pool.slots if s.active and s.drafted),
+            default=1,
+        )
+        cap = max((r for r in choices if r <= k), default=choices[0])
+        for r in choices:
+            if r >= min(needed, cap):
+                return min(r, cap)
+        return cap
 
     def _pick_verify_rows(self, pool: _CachePool, rounds: int) -> int | None:
         """Occupied-prefix rung for the verify program (same contract as
@@ -2782,13 +2838,16 @@ class BatchedEngine:
         same request may be finished by this status (the slot may have been
         reaped and re-admitted since)."""
         for i, s in enumerate(pool.slots):
-            if (
-                s.active
-                and status[i] < 0
-                and s.request is not None
-                and s.request is reqs[i]
-            ):
-                self._finish(pool, i, rows[i], -int(status[i]) - 1)
+            if not (s.active and s.request is not None and s.request is reqs[i]):
+                continue
+            st_i = int(status[i])
+            if st_i < 0:
+                self._finish(pool, i, rows[i], -st_i - 1)
+            elif s.drafted and st_i < _SPEC_LIVE_FLAG:
+                # draft exhausted (or a plain program ran, misaligning the
+                # cursor — the next verify round would reject it anyway):
+                # return this slot to the plain k-escalated decode ladder
+                s.drafted = False
 
     def _finish(
         self, pool: _CachePool, slot_idx: int, row: np.ndarray, n_tokens: int
@@ -2830,6 +2889,20 @@ class BatchedEngine:
             lat["queue"].append(round(queue_s * 1e3, 1))
             lat["run"].append(round((dt - queue_s) * 1e3, 1))
             lat["tokens"].append(n_tokens)
+        draft = getattr(req, "draft_tokens", None)
+        if self.speculative and draft is not None and len(draft) > 1:
+            # acceptance = matching-prefix fraction of the draft vs the TRUE
+            # greedy output — valid whether or not the draft was spent (the
+            # verify path is lossless, so `out` is the greedy sequence
+            # either way), which is what lets the gated-off EMA recover
+            match = 0
+            for a, b in zip(np.asarray(draft), out):
+                if int(a) != int(b):
+                    break
+                match += 1
+            acc = match / max(len(draft), 1)
+            self.spec_accept_ema = 0.8 * self.spec_accept_ema + 0.2 * acc
+            self.stats["spec_accept_ema"] = round(self.spec_accept_ema, 3)
         st.active = False
         st.request = None
         st.drafted = False

@@ -184,6 +184,80 @@ class TestEngineSpeculativeFinals:
             np.testing.assert_array_equal(toks, golden, err_msg=name)
         assert stats.get("verify_rounds", 0) > 0, "verify path never ran"
 
+    def test_exhausted_draft_returns_to_plain_ladder(self, engine_stack):
+        """A short draft must not pin the request to the verify path for its
+        whole decode: once the draft is spent, the _SPEC_LIVE_FLAG status
+        bit clears `drafted` and the remaining tokens ride the plain
+        k-escalated programs (1 token/round on verify would otherwise cap
+        long finals at ~8 tokens per dispatch)."""
+        cfg, tr = engine_stack
+        audio = _audio(0.5, seed=3)
+        golden = tr.transcribe(audio, SR, max_new_tokens=20).tokens
+
+        async def go():
+            eng = self._engine(tr)
+            try:
+                r = await eng.transcribe(
+                    audio, SR, max_new_tokens=20,
+                    draft_tokens=np.asarray(golden[:3], np.int32),
+                )
+                return r.tokens, dict(eng.stats)
+            finally:
+                eng.shutdown()
+
+        loop = asyncio.new_event_loop()
+        toks, stats = loop.run_until_complete(go())
+        loop.close()
+        np.testing.assert_array_equal(toks, golden)
+        # the 2-token draft (token 0 is stripped) is spent in round one;
+        # the parked-status lag allows a couple more verify dispatches
+        # before the flag lands, but nowhere near the ~17 rounds that
+        # decoding the whole budget on the verify path would take
+        assert 0 < stats.get("verify_rounds", 0) <= 8, stats.get("verify_rounds")
+
+    def test_adaptive_gate_closes_and_recovers(self, engine_stack):
+        """Sustained garbage drafts must drive the acceptance EMA below the
+        floor (drafts received but no verify rounds spent), and golden
+        drafts must reopen it — the EMA is measured against the plain
+        greedy output, so it recovers while the gate is closed."""
+        cfg, tr = engine_stack
+        audio = _audio(0.5, seed=3)
+        golden = np.asarray(
+            tr.transcribe(audio, SR, max_new_tokens=20).tokens, np.int32
+        )
+        garbage = (golden + 11) % cfg.decoder.vocab_size
+
+        async def go():
+            eng = self._engine(tr)
+            try:
+                for _ in range(10):
+                    await eng.transcribe(audio, SR, max_new_tokens=20,
+                                         draft_tokens=garbage)
+                assert eng.spec_accept_ema < eng.spec_accept_min
+                closed_at = eng.stats.get("verify_rounds", 0)
+                r = await eng.transcribe(audio, SR, max_new_tokens=20,
+                                         draft_tokens=garbage)
+                np.testing.assert_array_equal(r.tokens, golden)
+                assert eng.stats.get("verify_rounds", 0) == closed_at, (
+                    "gate closed but verify rounds were still spent"
+                )
+                # golden drafts are measured even while closed -> reopens
+                for _ in range(6):
+                    r = await eng.transcribe(audio, SR, max_new_tokens=20,
+                                             draft_tokens=golden)
+                assert eng.spec_accept_ema >= eng.spec_accept_min
+                reopened_at = eng.stats.get("verify_rounds", 0)
+                await eng.transcribe(audio, SR, max_new_tokens=20,
+                                     draft_tokens=golden)
+                assert eng.stats.get("verify_rounds", 0) > reopened_at
+                np.testing.assert_array_equal(r.tokens, golden)
+            finally:
+                eng.shutdown()
+
+        loop = asyncio.new_event_loop()
+        loop.run_until_complete(go())
+        loop.close()
+
     def test_concurrent_mixed_drafted_and_plain(self, engine_stack):
         """Drafted and undrafted requests sharing the pool (and the same
         verify programs) stay token-exact."""

@@ -1669,6 +1669,18 @@ class BatchedEngine:
             min(len(prompt.suffix_ids), MAX_SUFFIX_TOKENS)
         )
 
+    def _req_suffix_bucket(self, req) -> int:
+        """Per-request memo of _route_suffix_bucket: the backlog paths
+        re-route every queued request every tick, and build_prompt's global
+        cache clears wholesale at 4096 entries — under adversarial hotword
+        churn that would re-tokenize the whole backlog each tick (ADVICE
+        r2 weak #6). The routed bucket is immutable per request."""
+        sb = getattr(req, "_suffix_bucket_memo", None)
+        if sb is None:
+            sb = self._route_suffix_bucket(req.hotwords)
+            req._suffix_bucket_memo = sb
+        return sb
+
     def _mel_dtype(self):
         return (
             jnp.bfloat16
@@ -2174,7 +2186,7 @@ class BatchedEngine:
             cb = self._pick_chunk_bucket(req.chunk_count)
             pool = self._pool_for(
                 cb * 1024 // 160, req.max_new_tokens,
-                self._route_suffix_bucket(req.hotwords),
+                self._req_suffix_bucket(req),
             )
             if pool.free == 0:
                 return True
@@ -2188,7 +2200,7 @@ class BatchedEngine:
                 bucket = tr._pick_bucket(max(1, frame_count(est, tr.mel_cfg)))
                 pool = self._pool_for(
                     bucket, req.max_new_tokens,
-                    self._route_suffix_bucket(req.hotwords),
+                    self._req_suffix_bucket(req),
                 )
             if pool.free == 0:
                 return True
@@ -2305,7 +2317,7 @@ class BatchedEngine:
                 cb = self._pick_chunk_bucket(req.chunk_count)
                 pool = self._pool_for(
                     cb * 1024 // 160, req.max_new_tokens,
-                    self._route_suffix_bucket(req.hotwords),
+                    self._req_suffix_bucket(req),
                 )
                 if free[id(pool)] > 0:
                     free[id(pool)] -= 1
@@ -2332,7 +2344,7 @@ class BatchedEngine:
                     bucket = tr._pick_bucket(max(1, frame_count(est, tr.mel_cfg)))
                     pool = self._pool_for(
                         bucket, req.max_new_tokens,
-                        self._route_suffix_bucket(req.hotwords),
+                        self._req_suffix_bucket(req),
                     )
                 if free[id(pool)] > 0:
                     free[id(pool)] -= 1
@@ -2367,7 +2379,7 @@ class BatchedEngine:
         by_key: dict[tuple[int, int], list[_RingTranscribeReq]] = {}
         for req in reqs:
             bucket = self._pick_chunk_bucket(req.chunk_count)
-            sb = self._route_suffix_bucket(req.hotwords)
+            sb = self._req_suffix_bucket(req)
             by_key.setdefault((bucket, sb), []).append(req)
         for (bucket, sb), items in by_key.items():
             b_cap = self._group_b_cap(pool, bucket * 1024 // 160)

@@ -1,0 +1,111 @@
+"""On-chip warmup A/B: two-phase cold boot vs store-backed restart.
+
+Cold start is the reference's one structural advantage (it boots in
+model-load time and serves eagerly, backend/asr.py:120-146; a compiled-grid
+engine must pay trace/lower/compile for every program). Two mechanisms
+close the gap:
+
+- two-phase boot (`warmup(fast=True)`): only the critical subset blocks
+  (short/interim path, long B=1 prefills, ladders, VAD, scatter); the
+  deferred grid AOT-compiles in the background (engine/batcher.py warmup);
+- the serialized-executable store (engine/exec_store.py): every compiled
+  program is serialized beside the checkpoint; a restart DESERIALIZES
+  instead of compiling (the tools/prewarm.py ship path).
+
+This bench runs each mode in a fresh subprocess against shared cache dirs:
+`fast` with EMPTY caches (true cold boot; epoch-dependent — the remote
+compile service's latency varies hour to hour), then `restart` in fast
+mode against the store the first run wrote, which is exactly the shipped
+boot (`--warmup-fast` + SONIC_EXEC_CACHE). `loads` > 0 is the proof the
+store was hit; ready_s is boot-to-serving.
+
+Run on the real chip:  python -m sonicscribe_tpu.tools.bench_warmup
+Writes WARMUP_BENCH.json at the repo root.
+
+NOTE: run this with the working tree quiet — the store fingerprint hashes
+the compute-path sources, so editing them between the two subprocesses
+forces a clean miss (loads=0) by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+_CHILD = r'''
+import os, sys, time, json
+os.environ["JAX_COMPILATION_CACHE_DIR"] = sys.argv[2]
+os.environ["SONIC_EXEC_CACHE"] = sys.argv[3]
+import jax
+jax.config.update("jax_compilation_cache_dir", sys.argv[2])
+import jax.numpy as jnp
+from sonicscribe_tpu.engine.batcher import BatchedEngine
+from sonicscribe_tpu.engine.transcriber import Transcriber
+from sonicscribe_tpu.models import nano
+from sonicscribe_tpu.models.glm_asr import init_params
+from sonicscribe_tpu.models.tokenizer import ByteTokenizer
+from sonicscribe_tpu.vad.model import SileroCostProbeVad
+
+mode = sys.argv[1]
+cfg = nano()
+params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+tr = Transcriber(cfg, params, ByteTokenizer(cfg), prefill_buckets=(128, 512))
+eng = BatchedEngine(tr, SileroCostProbeVad(), slots=32, max_decode_tokens=200)
+t0 = time.perf_counter()
+eng.warmup(fast=True)
+ready = time.perf_counter() - t0
+eng.warmup_join()
+total = time.perf_counter() - t0
+print(json.dumps({"mode": mode, "ready_s": round(ready, 1),
+                  "with_background_s": round(total, 1),
+                  "saves": eng._exec_store.saves,
+                  "loads": eng._exec_store.loads}))
+eng.shutdown()
+'''
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    work = tempfile.mkdtemp(prefix="wb_")
+    jax_dir = os.path.join(work, "jax")
+    exec_dir = os.path.join(work, "exec")
+    out: dict = {}
+    try:
+        for mode in ("fast", "restart"):
+            r = subprocess.run(
+                [sys.executable, "-u", "-c", _CHILD, mode, jax_dir, exec_dir],
+                capture_output=True, text=True, timeout=3600,
+            )
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            print(mode, lines[-1] if lines else r.stderr[-800:])
+            if lines:
+                out[mode] = json.loads(lines[-1])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    json.dump(
+        {
+            "bench": "warmup",
+            "backend": "tpu",
+            "model": "nano",
+            "note": "fast: two-phase cold boot with EMPTY caches (ready_s = "
+                    "boot-to-serving; with_background_s adds the deferred "
+                    "B>1/rows/verify grid; epoch-dependent — remote-compile "
+                    "latency varies). restart: the SAME fast boot against "
+                    "the store the first run wrote — the shipped path "
+                    "(tools/prewarm.py + --warmup-fast); loads>0 proves the "
+                    "store was hit.",
+            **out,
+        },
+        open(os.path.join(repo, "WARMUP_BENCH.json"), "w"),
+        indent=1,
+    )
+    print("wrote WARMUP_BENCH.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -891,8 +891,12 @@ class BatchedEngine:
         # speculative finals (verify_step): drafted long-pool requests
         # verify spec_w draft tokens per weights-read instead of 1-token
         # steps — lossless (greedy-exact), tested in test_spec_decode.py.
-        # Disabled under a mesh (the verify grid is single-chip for now).
-        self.speculative = mesh is None
+        # Works under a data-parallel mesh too: the verify program indexes
+        # the slot axis exactly like _decode_k_program (identity-row
+        # gathers/scatters), and the rows ladder is already empty under a
+        # mesh, so only the full-rows variant is ever dispatched
+        # (mesh parity: test_parallel.py).
+        self.speculative = True
         self.spec_w = 8
         self.verify_rounds_choices = (1, 2, 4, 8)
         # adaptive gate: measured draft acceptance (matching-prefix fraction,

@@ -63,7 +63,8 @@ total = time.perf_counter() - t0
 print(json.dumps({"mode": mode, "ready_s": round(ready, 1),
                   "with_background_s": round(total, 1),
                   "saves": eng._exec_store.saves,
-                  "loads": eng._exec_store.loads}))
+                  "loads": eng._exec_store.loads,
+                  "phase_s": eng.stats.get("warmup_phase_s", {})}))
 eng.shutdown()
 '''
 

@@ -161,6 +161,41 @@ def test_batched_engine_dp_with_fused_dual_decode(devices_ok, stack):
         np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
 
 
+def test_batched_engine_dp_speculative_finals(devices_ok, stack):
+    """Speculative finals on the 8-device mesh: the verify program indexes
+    the sharded slot axis like the decode programs (identity-row gathers/
+    scatters), so drafted requests must stay token-exact and the verify
+    path must actually run (the rows ladder is empty under a mesh — only
+    the full-rows variant dispatches)."""
+    cfg, tr = stack
+    audios = [_audio(0.4 + 0.05 * i, f=230 + 60 * i, seed=80 + i) for i in range(4)]
+    golden = [tr.transcribe(a, SR, max_new_tokens=20).tokens for a in audios]
+
+    mesh = make_mesh(8)
+
+    async def go():
+        eng = BatchedEngine(tr, EnergyVad(), slots=8, max_decode_tokens=32, mesh=mesh)
+        assert eng.speculative
+        try:
+            rs = await asyncio.gather(
+                *[
+                    eng.transcribe(
+                        a, SR, max_new_tokens=20,
+                        draft_tokens=(golden[i] if i % 2 == 0 else None),
+                    )
+                    for i, a in enumerate(audios)
+                ]
+            )
+            return [r.tokens for r in rs], dict(eng.stats)
+        finally:
+            eng.shutdown()
+
+    got, stats = _run(go())
+    assert stats.get("verify_rounds", 0) > 0, stats
+    for i, (g, w) in enumerate(zip(got, golden)):
+        np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
+
+
 def test_batched_engine_data_parallel_ring_path(devices_ok, stack):
     """The realtime path (packed chunk scatter into the sharded device ring,
     batched ring VAD, ring prefill) on the mesh matches the host-audio path

@@ -980,6 +980,9 @@ class BatchedEngine:
         # True while any backlogged request routes to the SHORT pool (keeps
         # the long pool's pending-k exception honest, see _pick_k)
         self._backlog_has_short = False
+        # fast-warmup replay thunks (compiled but not yet executed/linked on
+        # device) draining in the scheduler's idle ticks — see warmup()
+        self._replay_queue: deque = deque()
         self.stats = {"ticks": 0, "decode_steps": 0, "prefills": 0, "vad_batches": 0}
         # per-tick phase timeline (SONIC_TICK_TRACE=1): ring buffer of dicts,
         # read by tools/bench_interim.py to decompose scheduling latency
@@ -1217,6 +1220,7 @@ class BatchedEngine:
 
     def shutdown(self) -> None:
         self._running = False
+        self._replay_queue.clear()
         task, self._task = self._task, None
         if task is None or task.done():
             return
@@ -1392,7 +1396,8 @@ class BatchedEngine:
                                 pool.compiled_prefill.add((bucket, sb, B))
 
                             run(host_prefill,
-                                deferred=pool is self.long and B > 1)
+                                deferred=pool is self.long and B > 1,
+                                replay_bg=pool is self.long)
                 # the short pool's budgets never exceed short_budget, so its
                 # k ladder stops there — bigger programs would compile but
                 # never dispatch (_pick_k picks smallest k >= min remaining)
@@ -1412,7 +1417,8 @@ class BatchedEngine:
                         run(lambda pool=pool, k=k, rows=rows, lower_only=False:
                             self._dispatch_decode(
                                 pool, k, lower_only=lower_only, rows=rows),
-                            deferred=rows is not None)
+                            deferred=rows is not None,
+                            replay_bg=pool is self.long and k >= 16)
                 if self.speculative and pool is self.long:
                     # speculative-finals verify grid (all deferred: until
                     # registered, drafted finals fall back to k-step decode)
@@ -1454,7 +1460,8 @@ class BatchedEngine:
                                 pool.compiled_ring_prefill.add((cb, sb, B))
 
                             run(ring_prefill,
-                                deferred=pool is self.long and B > 1)
+                                deferred=pool is self.long and B > 1,
+                                replay_bg=pool is self.long and cb != smallest_cb)
             if self.fuse_dual:
                 for k in self.dual_k_choices:
                     run(lambda k=k, lower_only=False:
@@ -1503,7 +1510,7 @@ class BatchedEngine:
         with ThreadPoolExecutor(max_workers=16) as ex:
             futures = []
 
-            def submit(thunk, deferred=False):
+            def submit(thunk, deferred=False, replay_bg=False):
                 nonlocal n_jobs
                 if fast and deferred:
                     deferred_thunks.append(thunk)
@@ -1536,9 +1543,17 @@ class BatchedEngine:
         # pools up in the final drain)
         per_thunk_sync = bool(_os.environ.get("SONIC_WARMUP_SYNC"))
 
-        def replay(thunk, deferred=False):
+        def replay(thunk, deferred=False, replay_bg=False):
             if fast and deferred:
                 return  # background-compiled; first dispatch is its replay
+            if fast and replay_bg:
+                # compiled (pass 1 / exec store) but EXECUTION-heavy and off
+                # the first-seconds critical path (long-pool big-bucket
+                # prefills, long k>=16): link+first-run drains in the
+                # scheduler's idle ticks instead of blocking ready. A
+                # request landing on one first pays its lazy link once.
+                self._replay_queue.append(thunk)
+                return
             t = time.perf_counter()
             thunk()
             if per_thunk_sync:
@@ -1555,6 +1570,8 @@ class BatchedEngine:
         pass_over_grid(replay)
         np.asarray(self.long.cache_len[:1])  # drain the dispatch queue
         self.stats["warmup_slowest"] = sorted(slowest, reverse=True)[:8]
+        if self._replay_queue:
+            self.stats["warmup_replay_pending"] = len(self._replay_queue)
         phase_s["dispatch_replay"] = round(time.perf_counter() - t1, 1)
         t2 = time.perf_counter()
 
@@ -1970,6 +1987,16 @@ class BatchedEngine:
     def _n_active(self) -> int:
         return sum(p.n_active for p in self.pools)
 
+    def _run_replay_thunk(self, thunk) -> None:
+        """One idle-tick warmup replay (device thread). Failures only cost
+        the warmup benefit — the program itself stays registered and its
+        first real dispatch retries."""
+        try:
+            thunk()
+            np.asarray(self.long.cache_len[:1])  # drain before next tick
+        except Exception:
+            logger.exception("background warmup replay failed")
+
     async def _scheduler(self) -> None:
         loop = asyncio.get_running_loop()
         try:
@@ -2017,6 +2044,19 @@ class BatchedEngine:
 
                 self.stats["ticks"] += 1
                 if not did_work:
+                    if self._replay_queue:
+                        # fully idle: link+execute ONE deferred warmup
+                        # replay (same executor serialization as ticks);
+                        # re-check the queues between thunks so a request
+                        # arriving mid-drain waits at most one thunk
+                        thunk = self._replay_queue.popleft()
+                        await loop.run_in_executor(
+                            None, self._run_replay_thunk, thunk
+                        )
+                        self.stats["warmup_replay_pending"] = len(
+                            self._replay_queue
+                        )
+                        continue
                     self._wake.clear()
                     try:
                         await asyncio.wait_for(self._wake.wait(), timeout=1.0)

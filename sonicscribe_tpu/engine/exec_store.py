@@ -172,12 +172,31 @@ class ExecStore:
 
     def __init__(self, base_dir: str, context: object):
         backend = jax.devices()[0]
+        # CPU AOT binaries embed the compile host's machine features
+        # ("device_kind" is just "cpu" there) — a store shared between
+        # heterogeneous hosts would load binaries the executor warns may
+        # SIGILL. Mix the ISA flag set into the fingerprint on cpu so each
+        # microarchitecture gets its own directory; TPU kinds ("TPU v5e"...)
+        # already distinguish hardware.
+        host_isa = ""
+        if backend.platform == "cpu":
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith("flags"):
+                            host_isa = " ".join(sorted(line.split()[2:]))
+                            break
+            except OSError:
+                import platform as _platform
+
+                host_isa = _platform.machine() + _platform.processor()
         fingerprint = hashlib.sha256(
             repr(
                 (
                     jax.__version__,
                     backend.platform,
                     getattr(backend, "device_kind", "?"),
+                    host_isa,
                     jax.device_count(),
                     _source_digest(),
                     context,

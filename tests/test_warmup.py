@@ -108,3 +108,36 @@ def test_fast_warmup_b1_admission_before_background(stack):
             np.testing.assert_array_equal(g, w)
     finally:
         eng.shutdown()
+
+
+def test_fast_warmup_background_replay_drains_when_idle(stack):
+    """fast=True leaves the execution-heavy long-pool replays (big-bucket
+    prefills, k>=16 decode) in _replay_queue; serving works immediately,
+    and the scheduler drains the queue in idle ticks."""
+    cfg, tr = stack
+    golden = tr.transcribe(_audio(), SR, max_new_tokens=8).tokens
+
+    eng = BatchedEngine(tr, EnergyVad(), slots=8, max_decode_tokens=16)
+    try:
+        eng.warmup(fast=True)
+        queued = len(eng._replay_queue)
+        assert queued > 0, "no replays were deferred to idle ticks"
+
+        async def go():
+            r = await eng.transcribe(_audio(), SR, max_new_tokens=8)
+            # idle now: the scheduler should start draining the queue
+            for _ in range(200):
+                if not eng._replay_queue:
+                    break
+                await asyncio.sleep(0.05)
+            return r
+
+        loop = asyncio.new_event_loop()
+        r = loop.run_until_complete(go())
+        loop.close()
+        np.testing.assert_array_equal(r.tokens, golden)
+        assert not eng._replay_queue, (
+            f"{len(eng._replay_queue)}/{queued} replays still queued"
+        )
+    finally:
+        eng.shutdown()

@@ -92,6 +92,19 @@ class AppConfig:
         default_factory=lambda: _env("SPECULATIVE_FINALS", "true").lower()
         in ("1", "true", "yes")
     )
+    # eager finals (endpoint speculation; new, no reference counterpart):
+    # the gate confirms a speech end only at the SECOND consecutive silent
+    # window (reference vad_processor_manager.py:154 semantics), so the
+    # final's audio is fully buffered one 640 ms window before confirmation.
+    # The session launches the final decode at the FIRST silent window and
+    # commits its result on confirmation (discarded if speech resumes),
+    # cutting speech-end -> committed latency by up to the window period.
+    # The omitted trailing window is gate-certified silence; launches are
+    # capacity-gated by the engine (BatchedEngine.eager_ok) so discarded
+    # speculation never displaces confirmed work.
+    eager_finals: bool = field(
+        default_factory=lambda: _env_bool("EAGER_FINALS", True)
+    )
     decode_slots: int = field(default_factory=lambda: int(_env("DECODE_SLOTS", "32")))
     # mel-frame bucket sizes for prefill (static shapes for XLA)
     prefill_buckets: List[int] = field(

@@ -1984,6 +1984,45 @@ class BatchedEngine:
     # ---------------- scheduler ----------------
 
     @property
+    def eager_ok(self) -> bool:
+        """Capacity gate for sessions' eager (speculative-endpoint) finals:
+        launch only while the long pool has slack, so discarded speculation
+        never displaces confirmed finals or file segments
+        (serve/session.py _start_eager)."""
+        return self.long.free * 4 >= len(self.long.slots)
+
+    def _sweep_cancelled(self) -> None:
+        """Free slots and drop backlog entries whose caller cancelled (eager
+        finals discarded on speech resume; disconnected clients). A freed
+        slot's device row simply stops being driven — the next prefill into
+        the slot resets it — so abandoning mid-decode costs nothing beyond
+        the steps already taken (extra rows ride a weight-bandwidth-bound
+        decode for free)."""
+        n = 0
+        for pool in self.pools:
+            for s in pool.slots:
+                if (
+                    s.active
+                    and s.request is not None
+                    and s.request.future.cancelled()
+                ):
+                    s.active = False
+                    s.request = None
+                    s.drafted = False
+                    n += 1
+        if n:
+            self.stats["cancelled_slots"] = (
+                self.stats.get("cancelled_slots", 0) + n
+            )
+        if any(r.future.done() for r in self._ring_backlog):
+            self._ring_backlog = [
+                r for r in self._ring_backlog if not r.future.done()
+            ]
+        if any(r.future.done() for r in self._host_backlog):
+            self._host_backlog = [
+                r for r in self._host_backlog if not r.future.done()
+            ]
+
     def _n_active(self) -> int:
         return sum(p.n_active for p in self.pools)
 
@@ -2125,6 +2164,7 @@ class BatchedEngine:
         hidden, which is a strict win at realtime tick rates."""
         trace = self.tick_trace
         t0 = time.perf_counter()
+        self._sweep_cancelled()
         # 0) ship ALL sessions' new audio chunks in ONE packed upload
         if self._ingest_pending:
             self._scatter_ingest()

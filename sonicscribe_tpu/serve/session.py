@@ -80,6 +80,11 @@ class StreamSession:
         # losslessly (engine verify path, test_spec_decode.py)
         self._draft_banked: list = []
         self._last_interim_tokens = None
+        # eager (speculative-endpoint) final: (task, start_chunk, end_chunk)
+        # launched at the gate's FIRST silent window — speech end confirms
+        # exactly one window later, so the confirmed commit usually finds
+        # this decode already done (config.eager_finals)
+        self._eager: Optional[tuple] = None
         self._decode_lock = asyncio.Lock()
         self._tasks: set[asyncio.Task] = set()
         # VAD windows are processed by a per-session worker task so that (a)
@@ -149,6 +154,7 @@ class StreamSession:
         ev = self.gate.update(prob, first, last)
 
         if ev.state_changed and ev.speech_start_chunk is not None:
+            self._cancel_eager()  # stale speculation from a prior segment
             self.buffer.start_segment(ev.speech_start_chunk)
             self._saved_interim_text = ""
             self._last_interim_current = ""
@@ -161,7 +167,18 @@ class StreamSession:
             if seg is not None:
                 self._spawn(self._commit_segment(seg))
         elif self.gate.is_speaking:
-            await self._maybe_interim()
+            if ev.resumed:
+                # speech continued after one silent window: the speculation
+                # lost its bet — discard before the next interim fires
+                self._cancel_eager()
+            if ev.maybe_end_chunk is not None and self.config.eager_finals:
+                # first silent window: the segment's audio is complete up to
+                # here (the window itself is below threshold). Start the
+                # final decode now instead of an interim over trailing
+                # silence; confirmation (or a resume) arrives next window.
+                self._start_eager(ev.maybe_end_chunk)
+            else:
+                await self._maybe_interim()
 
     def _spawn(self, coro) -> None:
         task = asyncio.ensure_future(coro)
@@ -271,8 +288,80 @@ class StreamSession:
     # final ("committed") path
     # ------------------------------------------------------------------
 
+    def _start_eager(self, end_chunk: int) -> None:
+        """Launch the speculative final for the open segment at the gate's
+        first silent window (config.eager_finals). The engine's capacity
+        gate keeps discarded speculation from displacing confirmed work."""
+        if self._eager is not None:
+            return
+        seg = self.buffer.current_segment
+        if seg is None:
+            return
+        start = seg.start_chunk_id
+        chunk_s = self.config.audio_chunk_duration_ms / 1000.0
+        duration = (end_chunk - start + 1) * chunk_s
+        # long segments take the _part_i split path at confirmation — the
+        # single-decode speculation would be discarded there, so skip it
+        if duration > self.config.max_segment_duration:
+            return
+        ok = getattr(self.engine, "eager_ok", None)
+        if callable(ok) and not ok():
+            return
+        task = asyncio.ensure_future(self._run_eager_final(start, end_chunk))
+        self._tasks.add(task)
+        task.add_done_callback(self._tasks.discard)
+        self._eager = (task, start, end_chunk)
+
+    async def _run_eager_final(self, start_id: int, end_id: int):
+        async with self._decode_lock:
+            chunk_s = self.config.audio_chunk_duration_ms / 1000.0
+            duration = (end_id - start_id + 1) * chunk_s
+            audio = self.buffer.audio_in_range(start_id, end_id)
+            return await self._transcribe_range(
+                audio, start_id, end_id,
+                self.config.final_token_budget(duration),
+                draft_tokens=self._segment_draft(),
+            )
+
+    def _cancel_eager(self) -> None:
+        if self._eager is None:
+            return
+        task, _, _ = self._eager
+        self._eager = None
+        task.cancel()
+
     async def _commit_segment(self, seg: SpeechSegment) -> None:
         t0 = time.monotonic()  # speech-end -> committed_output latency
+        # consume the speculative final if one is in flight for this segment:
+        # it was launched one gate window before this confirmation, over the
+        # same audio minus the trailing gate-certified-silent window
+        eager, self._eager = self._eager, None
+        if eager is not None:
+            task, e_start, _ = eager
+            audio, start_id, end_id = self.buffer.committed_audio(seg)
+            duration = len(audio) / self.config.audio_sample_rate
+            if (
+                e_start == start_id
+                and duration <= self.config.max_segment_duration
+            ):
+                try:
+                    result = await task
+                except asyncio.CancelledError:
+                    result = None
+                except Exception:
+                    logger.exception(
+                        "[%s] eager final failed; falling back", self.client_id
+                    )
+                    result = None
+                if result is not None:
+                    seg.transcript = result.text
+                    await self._send_committed(
+                        str(seg.segment_id), result.text, start_id, end_id,
+                        seg.start_time, seg.end_time, t0,
+                    )
+                    return
+            else:
+                task.cancel()
         async with self._decode_lock:
             audio, start_id, end_id = self.buffer.committed_audio(seg)
             duration = len(audio) / self.config.audio_sample_rate

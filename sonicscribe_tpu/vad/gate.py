@@ -38,6 +38,15 @@ class GateEvent:
     state_changed: bool = False
     speech_start_chunk: Optional[int] = None
     speech_end_chunk: Optional[int] = None
+    # FIRST consecutive silent window while speaking: speech end will be
+    # confirmed exactly one window later (silence_count >= 2) unless speech
+    # resumes — the hook for eager (speculative-endpoint) finals: the
+    # would-be final's audio [segment start .. maybe_end_chunk] is already
+    # fully buffered, and the window after it is gate-certified silence.
+    maybe_end_chunk: Optional[int] = None
+    # speech continued after a maybe_end (silence_count reset before
+    # reaching 2): any eager final launched for it must be discarded
+    resumed: bool = False
 
 
 @dataclass
@@ -58,13 +67,22 @@ class VadGate:
         cfg = self.cfg
         active = window_prob >= self.threshold
         ev = GateEvent()
+        prev_silence = self.silence_count
 
         if active:
             self.speech_count = min(self.speech_count + 1, cfg.smoothing_window)
             self.silence_count = 0
+            if self.is_speaking and prev_silence > 0:
+                ev.resumed = True
         else:
             self.silence_count = min(self.silence_count + 1, cfg.smoothing_window)
             self.speech_count = 0
+            if (
+                self.is_speaking
+                and prev_silence == 0
+                and self.silence_count < cfg.smoothing_window
+            ):
+                ev.maybe_end_chunk = last_chunk_id
 
         if not self.is_speaking and self.speech_count >= 1:
             self.is_speaking = True

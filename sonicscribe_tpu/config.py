@@ -105,6 +105,17 @@ class AppConfig:
     eager_finals: bool = field(
         default_factory=lambda: _env_bool("EAGER_FINALS", True)
     )
+    # speculative interims: each interim decode verifies the PREVIOUS
+    # interim's tokens w-at-a-time (same lossless verify path as
+    # speculative_finals) when its window start is unchanged — the longer
+    # audio's greedy transcript usually re-derives the shorter one's prefix,
+    # so a 15-token interim finishes in ~2 weights-reads instead of 14
+    # 1-token steps. The interim class is step-count-bound under load
+    # (INTERIM_BENCH.json: run p50 195 ms ~= 14 steps x ~14 ms), so this is
+    # the main p50 lever.
+    speculative_interims: bool = field(
+        default_factory=lambda: _env_bool("SPECULATIVE_INTERIMS", True)
+    )
     decode_slots: int = field(default_factory=lambda: int(_env("DECODE_SLOTS", "32")))
     # mel-frame bucket sizes for prefill (static shapes for XLA)
     prefill_buckets: List[int] = field(

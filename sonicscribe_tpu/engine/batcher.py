@@ -909,6 +909,12 @@ class BatchedEngine:
         # where interim/final outputs genuinely diverge.
         self.spec_accept_ema = 1.0
         self.spec_accept_min = 0.35
+        # eager (speculative-endpoint) finals: measured bet-confirmation
+        # rate, same adaptive-gate philosophy as spec_accept_ema (see
+        # eager_ok/eager_outcome)
+        self.eager_accept_ema = 1.0
+        self.eager_accept_min = 0.5
+        self._eager_probe = 0
         self._warmed = False  # set by warmup(); gates compiled-grid-only dispatch
         self.pools = (self.short, self.long)
         # the SHORT pool's k ladder derives from short_budget: _pick_k picks
@@ -1419,10 +1425,21 @@ class BatchedEngine:
                                 pool, k, lower_only=lower_only, rows=rows),
                             deferred=rows is not None,
                             replay_bg=pool is self.long and k >= 16)
-                if self.speculative and pool is self.long:
-                    # speculative-finals verify grid (all deferred: until
-                    # registered, drafted finals fall back to k-step decode)
+                if self.speculative:
+                    # speculative verify grid (all deferred: until
+                    # registered, drafted requests fall back to k-step
+                    # decode). The SHORT pool's ladder stops at the rounds
+                    # its budget can use (budget/w, i.e. 2 for 15-token
+                    # interims at w=8 — speculative_interims); deeper
+                    # programs would compile but never dispatch.
+                    r_cap = (
+                        -(-self.short_budget // self.spec_w)
+                        if pool is self.short
+                        else self.verify_rounds_choices[-1]
+                    )
                     for r in self.verify_rounds_choices:
+                        if r > r_cap:
+                            continue
                         for rows in (None,) + tuple(
                             rw for rw in pool.rows_ladder if rw in (1, 4)
                         ):
@@ -1983,13 +2000,37 @@ class BatchedEngine:
 
     # ---------------- scheduler ----------------
 
-    @property
     def eager_ok(self) -> bool:
-        """Capacity gate for sessions' eager (speculative-endpoint) finals:
-        launch only while the long pool has slack, so discarded speculation
-        never displaces confirmed finals or file segments
-        (serve/session.py _start_eager)."""
-        return self.long.free * 4 >= len(self.long.slots)
+        """Launch gate for sessions' eager (speculative-endpoint) finals
+        (serve/session.py _start_eager). Two conditions:
+
+        - capacity: the long pool must have slack, so discarded speculation
+          never displaces confirmed finals or file segments;
+        - measured confirmation rate: sessions report each bet's outcome
+          (eager_outcome), and below the floor the gate closes except for
+          every 8th candidate, which launches as a measurement probe — on a
+          drifting-phase workload (speech usually resumes after one silent
+          window) losing bets at full budget stole enough weight-bandwidth
+          to double interim p50 (EAGER_FINALS_BENCH.json worstcase_eager_on
+          pre-gate: 406 vs 218 ms), while the probes keep the EMA live so
+          an utterance-shaped workload reopens it within ~8 endpoints.
+        """
+        if self.long.free * 4 < len(self.long.slots):
+            return False
+        if self.eager_accept_ema >= self.eager_accept_min:
+            return True
+        self._eager_probe += 1
+        return self._eager_probe % 8 == 0
+
+    def eager_outcome(self, confirmed: bool) -> None:
+        """Session-reported result of one eager bet: True when the gate
+        confirmed the speech end and the speculative final was committed,
+        False when speech resumed (decode discarded) or the commit could not
+        use it (range/duration mismatch)."""
+        self.eager_accept_ema = (
+            0.9 * self.eager_accept_ema + 0.1 * (1.0 if confirmed else 0.0)
+        )
+        self.stats["eager_accept_ema"] = round(self.eager_accept_ema, 3)
 
     def _sweep_cancelled(self) -> None:
         """Free slots and drop backlog entries whose caller cancelled (eager
@@ -2023,6 +2064,7 @@ class BatchedEngine:
                 r for r in self._host_backlog if not r.future.done()
             ]
 
+    @property
     def _n_active(self) -> int:
         return sum(p.n_active for p in self.pools)
 
@@ -2564,7 +2606,6 @@ class BatchedEngine:
         for slot, d in slot_drafts:
             use = (
                 self.speculative
-                and pool is not self.short
                 and d is not None
                 and len(d) > 1
                 and self.spec_accept_ema >= self.spec_accept_min
@@ -2883,7 +2924,7 @@ class BatchedEngine:
         clear `drafted` via the _SPEC_LIVE_FLAG status bit (_reap_decode),
         so a pool with only spent drafts returns to the plain ladder (k up
         to long_idle_k_cap per dispatch, vs max 8 verify rounds)."""
-        if not self.speculative or pool is self.short:
+        if not self.speculative:
             return None
         if not any(s.active and s.drafted for s in pool.slots):
             return None

@@ -169,15 +169,18 @@ class StreamSession:
         elif self.gate.is_speaking:
             if ev.resumed:
                 # speech continued after one silent window: the speculation
-                # lost its bet — discard before the next interim fires
-                self._cancel_eager()
+                # lost its bet — discard before the next interim fires and
+                # feed the engine's adaptive launch gate
+                if self._cancel_eager():
+                    self._report_eager(False)
+            launched = False
             if ev.maybe_end_chunk is not None and self.config.eager_finals:
                 # first silent window: the segment's audio is complete up to
                 # here (the window itself is below threshold). Start the
                 # final decode now instead of an interim over trailing
                 # silence; confirmation (or a resume) arrives next window.
-                self._start_eager(ev.maybe_end_chunk)
-            else:
+                launched = self._start_eager(ev.maybe_end_chunk)
+            if not launched:
                 await self._maybe_interim()
 
     def _spawn(self, coro) -> None:
@@ -248,9 +251,24 @@ class StreamSession:
             return  # drop interim if a decode is already in flight
         async with self._decode_lock:
             t0 = time.monotonic()  # wall time: processing_delay is a latency
+            # speculative interims: when the window START is unchanged, this
+            # decode's audio is a superset of the previous interim's, so its
+            # greedy output usually re-derives the previous tokens as a
+            # prefix — pass them as the verify draft (lossless; the engine's
+            # acceptance gate prices divergent workloads)
+            draft = None
+            if (
+                self.config.speculative_interims
+                and self._last_interim_start == start_id
+                and self._last_interim_tokens is not None
+                and len(self._last_interim_tokens) > 1
+            ):
+                draft = self._last_interim_tokens
             try:
                 result = await self._transcribe_range(
-                    audio, start_id, end_id, self.config.interim_max_new_tokens
+                    audio, start_id, end_id,
+                    self.config.interim_max_new_tokens,
+                    draft_tokens=draft,
                 )
             except Exception:
                 logger.exception("[%s] interim decode failed", self.client_id)
@@ -288,29 +306,33 @@ class StreamSession:
     # final ("committed") path
     # ------------------------------------------------------------------
 
-    def _start_eager(self, end_chunk: int) -> None:
+    def _start_eager(self, end_chunk: int) -> bool:
         """Launch the speculative final for the open segment at the gate's
-        first silent window (config.eager_finals). The engine's capacity
-        gate keeps discarded speculation from displacing confirmed work."""
+        first silent window (config.eager_finals). The engine's launch gate
+        (capacity slack + measured bet-confirmation rate) keeps discarded
+        speculation from displacing confirmed work. Returns whether a
+        launch happened — the caller falls back to the interim cadence
+        when it did not."""
         if self._eager is not None:
-            return
+            return True
         seg = self.buffer.current_segment
         if seg is None:
-            return
+            return False
         start = seg.start_chunk_id
         chunk_s = self.config.audio_chunk_duration_ms / 1000.0
         duration = (end_chunk - start + 1) * chunk_s
         # long segments take the _part_i split path at confirmation — the
         # single-decode speculation would be discarded there, so skip it
         if duration > self.config.max_segment_duration:
-            return
+            return False
         ok = getattr(self.engine, "eager_ok", None)
         if callable(ok) and not ok():
-            return
+            return False
         task = asyncio.ensure_future(self._run_eager_final(start, end_chunk))
         self._tasks.add(task)
         task.add_done_callback(self._tasks.discard)
         self._eager = (task, start, end_chunk)
+        return True
 
     async def _run_eager_final(self, start_id: int, end_id: int):
         async with self._decode_lock:
@@ -323,12 +345,21 @@ class StreamSession:
                 draft_tokens=self._segment_draft(),
             )
 
-    def _cancel_eager(self) -> None:
+    def _cancel_eager(self) -> bool:
+        """-> whether a live speculation was discarded (a lost bet when
+        called from the resume path; callers there report it to the
+        engine's launch gate)."""
         if self._eager is None:
-            return
+            return False
         task, _, _ = self._eager
         self._eager = None
         task.cancel()
+        return True
+
+    def _report_eager(self, confirmed: bool) -> None:
+        report = getattr(self.engine, "eager_outcome", None)
+        if callable(report):
+            report(confirmed)
 
     async def _commit_segment(self, seg: SpeechSegment) -> None:
         t0 = time.monotonic()  # speech-end -> committed_output latency
@@ -354,6 +385,7 @@ class StreamSession:
                     )
                     result = None
                 if result is not None:
+                    self._report_eager(True)
                     seg.transcript = result.text
                     await self._send_committed(
                         str(seg.segment_id), result.text, start_id, end_id,
@@ -361,7 +393,10 @@ class StreamSession:
                     )
                     return
             else:
+                # launched but unusable at commit (range/duration mismatch):
+                # a wasted decode, priced like a lost bet
                 task.cancel()
+                self._report_eager(False)
         async with self._decode_lock:
             audio, start_id, end_id = self.buffer.committed_audio(seg)
             duration = len(audio) / self.config.audio_sample_rate

@@ -201,6 +201,55 @@ class TestSessionEagerFinals:
         assert len(finals) == 1
         assert finals[0][0] == 40 * CHUNK
 
+    async def test_outcomes_reported_to_engine_gate(self):
+        """The engine's adaptive launch gate feeds on session-reported bet
+        outcomes: a resume reports False, a confirmed commit reports True."""
+        cfg = AppConfig()
+        outcomes = []
+
+        async def send(m):
+            pass
+
+        eng = RecordingEngine(decode_delay_s=0.2)
+        eng.eager_ok = lambda: True
+        eng.eager_outcome = outcomes.append
+        s = StreamSession("c", cfg, eng, send)
+        # speech, one silent window (eager #1), resume (lost bet), then
+        # two silent windows (eager #2 -> confirmed)
+        await _feed(s, [(True, 2), (False, 1), (True, 2), (False, 2)])
+        await s.flush()
+        await s.cleanup()
+        assert outcomes == [False, True]
+
+    async def test_gated_off_launch_falls_back_to_interim_cadence(self):
+        """When the engine gate refuses the launch, the maybe_end window
+        must still serve the interim cadence instead of going dark."""
+        cfg = AppConfig()
+        msgs = []
+
+        async def send(m):
+            msgs.append(m)
+
+        eng = RecordingEngine()
+        eng.eager_ok = lambda: False
+        s = StreamSession("c", cfg, eng, send)
+        clock = [0.0]
+        s.clock = lambda: clock[0]
+        # long speech run, then a silent window with the interim cadence due
+        # (the cadence clock starts at speech start; advance it past 1 s
+        # BEFORE the maybe_end window so the fallback interim is eligible)
+        for loud, windows in [(True, 2), (False, 1)]:
+            for chunk in _chunks(loud, windows * 10):
+                await s.on_audio(chunk)
+            clock[0] += 2.0
+            await s.flush_vad()
+            await asyncio.sleep(0.02)
+        await asyncio.sleep(0.05)
+        interims = [c for c in eng.calls if c[1] == cfg.interim_max_new_tokens]
+        assert interims, "no interim ran on the gated-off maybe_end window"
+        await s.flush()
+        await s.cleanup()
+
     async def test_eager_respects_engine_capacity_gate(self):
         cfg = AppConfig()
         msgs = []
@@ -321,3 +370,51 @@ class TestEngineCancellation:
                 eng.shutdown()
 
         asyncio.get_event_loop_policy().new_event_loop().run_until_complete(go())
+
+
+class TestAdaptiveEagerGate:
+    """Engine-side launch gate: lost bets close it (except measurement
+    probes), confirmations reopen it."""
+
+    def _engine(self):
+        from sonicscribe_tpu.engine.transcriber import Transcriber
+        from sonicscribe_tpu.engine.batcher import BatchedEngine
+        from sonicscribe_tpu.models import tiny
+        from sonicscribe_tpu.models.glm_asr import init_params
+        from sonicscribe_tpu.models.tokenizer import ByteTokenizer
+        from sonicscribe_tpu.vad.model import EnergyVad
+
+        cfg = tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        tr = Transcriber(cfg, params, ByteTokenizer(cfg), prefill_buckets=(64,))
+        return BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32)
+
+    def test_closes_on_lost_bets_probes_and_reopens(self):
+        eng = self._engine()
+        try:
+            assert eng.eager_ok()  # fresh engine: open
+            for _ in range(10):
+                eng.eager_outcome(False)
+            assert eng.eager_accept_ema < eng.eager_accept_min
+            # closed: only every 8th candidate launches (probe)
+            grants = [eng.eager_ok() for _ in range(16)]
+            assert sum(grants) == 2, grants
+            # confirmed probes reopen the gate
+            for _ in range(10):
+                eng.eager_outcome(True)
+            assert eng.eager_accept_ema >= eng.eager_accept_min
+            assert all(eng.eager_ok() for _ in range(4))
+        finally:
+            eng.shutdown()
+
+    def test_capacity_trumps_accept_rate(self):
+        eng = self._engine()
+        try:
+            # occupy >3/4 of the long pool: gate must refuse regardless of EMA
+            for s in eng.long.slots[: len(eng.long.slots) - 0]:
+                s.active = True
+            assert not eng.eager_ok()
+        finally:
+            for s in eng.long.slots:
+                s.active = False
+            eng.shutdown()

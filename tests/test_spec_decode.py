@@ -287,3 +287,112 @@ class TestEngineSpeculativeFinals:
         for i, (g, w) in enumerate(zip(got, golden)):
             np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
         assert stats.get("verify_rounds", 0) > 0
+
+
+class TestEngineSpeculativeInterims:
+    """Short-pool verify path (speculative interims): interim-sized budgets
+    route to the SHORT pool, whose drafted requests must ride the verify
+    programs with the same lossless guarantee as finals
+    (serve/session.py _run_interim passes the previous interim's tokens)."""
+
+    @pytest.fixture(scope="class")
+    def engine_stack(self):
+        from sonicscribe_tpu.engine.transcriber import Transcriber
+        from sonicscribe_tpu.models.tokenizer import ByteTokenizer
+
+        cfg = tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        tr = Transcriber(cfg, params, ByteTokenizer(cfg), prefill_buckets=(64,))
+        return cfg, tr
+
+    def _engine(self, tr):
+        from sonicscribe_tpu.engine.batcher import BatchedEngine
+        from sonicscribe_tpu.vad.model import EnergyVad
+
+        return BatchedEngine(tr, EnergyVad(), slots=8, max_decode_tokens=24)
+
+    def test_short_pool_draft_parity_and_verify_rounds(self, engine_stack):
+        cfg, tr = engine_stack
+        audio = _audio(0.4, seed=5)  # fits the smallest mel bucket
+        budget = 12  # < short_budget (16): routes to the short pool
+        golden = tr.transcribe(audio, SR, max_new_tokens=budget).tokens
+
+        async def run_all():
+            eng = self._engine(tr)
+            try:
+                base = await eng.transcribe(audio, SR, max_new_tokens=budget)
+                drafts = {
+                    "golden": np.asarray(base.tokens, np.int32),
+                    "garbage": (np.asarray(base.tokens, np.int32) + 11)
+                    % cfg.decoder.vocab_size,
+                    "partial": np.concatenate(
+                        [
+                            np.asarray(base.tokens[:4], np.int32),
+                            (np.asarray(base.tokens[4:], np.int32) + 7)
+                            % cfg.decoder.vocab_size,
+                        ]
+                    ),
+                }
+                results = {}
+                for name, d in drafts.items():
+                    r0 = eng.stats.get("verify_rounds", 0)
+                    r = await eng.transcribe(
+                        audio, SR, max_new_tokens=budget, draft_tokens=d
+                    )
+                    results[name] = (r.tokens, eng.stats.get("verify_rounds", 0) - r0)
+                return base.tokens, results, dict(eng.stats)
+            finally:
+                eng.shutdown()
+
+        loop = asyncio.new_event_loop()
+        base_tokens, results, stats = loop.run_until_complete(run_all())
+        loop.close()
+        np.testing.assert_array_equal(base_tokens, golden)
+        for name, (toks, _) in results.items():
+            np.testing.assert_array_equal(toks, golden, err_msg=name)
+        # the requests actually ran on the short pool...
+        assert stats.get("short_lat_ms", {}).get("queue"), (
+            "short pool never served these budgets"
+        )
+        # ...and the golden draft rode the verify path there: an 11-token
+        # stripped draft at w=8 covers the budget in ceil(11/8)=2 rounds
+        # (+ parked-status lag), nowhere near the 11 plain steps
+        assert 0 < results["golden"][1] <= 4, results["golden"][1]
+
+    def test_short_pool_wave_drafted_parity(self, engine_stack):
+        """A synchronized drafted interim wave (the production shape: every
+        stream's interim carries its previous tokens) stays token-exact
+        across mixed draft quality."""
+        cfg, tr = engine_stack
+        audios = [_audio(0.3 + 0.04 * i, f=200 + 35 * i, seed=10 + i)
+                  for i in range(6)]
+        budget = 12
+        golden = [tr.transcribe(a, SR, max_new_tokens=budget).tokens
+                  for a in audios]
+
+        async def go():
+            eng = self._engine(tr)
+            try:
+                rs = await asyncio.gather(
+                    *[
+                        eng.transcribe(
+                            a, SR, max_new_tokens=budget,
+                            draft_tokens=(
+                                golden[i] if i % 3 != 2 else
+                                (np.asarray(golden[i], np.int32) + 5)
+                                % cfg.decoder.vocab_size
+                            ),
+                        )
+                        for i, a in enumerate(audios)
+                    ]
+                )
+                return [r.tokens for r in rs], dict(eng.stats)
+            finally:
+                eng.shutdown()
+
+        loop = asyncio.new_event_loop()
+        got, stats = loop.run_until_complete(go())
+        loop.close()
+        for i, (g, w) in enumerate(zip(got, golden)):
+            np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
+        assert stats.get("verify_rounds", 0) > 0

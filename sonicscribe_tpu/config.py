@@ -105,16 +105,18 @@ class AppConfig:
     eager_finals: bool = field(
         default_factory=lambda: _env_bool("EAGER_FINALS", True)
     )
-    # speculative interims: each interim decode verifies the PREVIOUS
+    # speculative interims: an interim decode may verify the PREVIOUS
     # interim's tokens w-at-a-time (same lossless verify path as
-    # speculative_finals) when its window start is unchanged — the longer
-    # audio's greedy transcript usually re-derives the shorter one's prefix,
-    # so a 15-token interim finishes in ~2 weights-reads instead of 14
-    # 1-token steps. The interim class is step-count-bound under load
-    # (INTERIM_BENCH.json: run p50 195 ms ~= 14 steps x ~14 ms), so this is
-    # the main p50 lever.
+    # speculative_finals) when its window START is unchanged. DEFAULT OFF —
+    # with the reference's constants it can never fire: the interim window
+    # is the sliding last-20-chunks (1.28 s, reference
+    # audio_manager.py:106-114) and the cadence is 1 s, so consecutive
+    # interim windows never share a start (measured: verify_rounds=0 across
+    # a full 50-stream INTERIM_BENCH run). Kept for configurations whose
+    # interim window is pinned to the segment start or whose cadence is
+    # much shorter than the window; lossless either way.
     speculative_interims: bool = field(
-        default_factory=lambda: _env_bool("SPECULATIVE_INTERIMS", True)
+        default_factory=lambda: _env_bool("SPECULATIVE_INTERIMS", False)
     )
     decode_slots: int = field(default_factory=lambda: int(_env("DECODE_SLOTS", "32")))
     # mel-frame bucket sizes for prefill (static shapes for XLA)

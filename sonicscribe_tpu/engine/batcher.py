@@ -685,6 +685,12 @@ class _TranscribeReq:
     # speculative draft: the session's predicted token sequence (usually the
     # banked interim tokens); verified losslessly, never trusted
     draft_tokens: Any = None
+    # unconfirmed speculative-ENDPOINT final (eager finals): the session has
+    # bet that speech ended, the gate has not confirmed it yet. While True
+    # the long pool must not k-escalate on its behalf (a lost bet's k=32
+    # program blocks the resumed speech's interims, EAGER_FINALS_BENCH
+    # worstcase interim p95). Flipped False by confirm_speculative().
+    speculative: bool = False
 
 
 @dataclass
@@ -713,6 +719,7 @@ class _RingTranscribeReq:
     t_enqueue: float
     t_admit: float = 0.0  # set when the prefill program is dispatched
     draft_tokens: Any = None  # speculative draft (see _TranscribeReq)
+    speculative: bool = False  # unconfirmed eager final (see _TranscribeReq)
 
 
 class BatchedEngine:
@@ -1126,6 +1133,7 @@ class BatchedEngine:
         max_new_tokens: int,
         hotwords: Optional[list[str]] = None,
         draft_tokens=None,
+        speculative: bool = False,
     ) -> TranscribeResult:
         await self.start()
         fut = asyncio.get_running_loop().create_future()
@@ -1138,6 +1146,7 @@ class BatchedEngine:
                 fut,
                 time.perf_counter(),
                 draft_tokens=draft_tokens,
+                speculative=speculative,
             )
         )
         self._wake.set()
@@ -1203,6 +1212,7 @@ class BatchedEngine:
         hotwords: Optional[list[str]] = None,
         duration_s: float = 0.0,
         draft_tokens=None,
+        speculative: bool = False,
     ) -> TranscribeResult:
         """Transcribe ring chunks [start_chunk, start_chunk+chunk_count) —
         zero audio upload."""
@@ -1219,6 +1229,7 @@ class BatchedEngine:
                 fut,
                 time.perf_counter(),
                 draft_tokens=draft_tokens,
+                speculative=speculative,
             )
         )
         self._wake.set()
@@ -1420,23 +1431,32 @@ class BatchedEngine:
                         r for r in pool.rows_ladder if k >= 8
                     )
                     for rows in row_opts:
+                        # long-pool k>live-cap rungs are pure escalation
+                        # programs (quiet windows / no-live-stream file
+                        # bursts): serving starts without them — _pick_k
+                        # clamps to registered rungs — so fast boot defers
+                        # their big scan compiles (the blocking pass's long
+                        # pole, WARMUP_BENCH fast.aot_parallel) to the
+                        # background thread, then idle ticks pay the link.
                         run(lambda pool=pool, k=k, rows=rows, lower_only=False:
                             self._dispatch_decode(
                                 pool, k, lower_only=lower_only, rows=rows),
-                            deferred=rows is not None,
+                            deferred=rows is not None
+                            or (pool is self.long and k > self.long_live_k_cap),
                             replay_bg=pool is self.long and k >= 16)
-                if self.speculative:
+                if self.speculative and pool is not self.short:
                     # speculative verify grid (all deferred: until
                     # registered, drafted requests fall back to k-step
-                    # decode). The SHORT pool's ladder stops at the rounds
-                    # its budget can use (budget/w, i.e. 2 for 15-token
-                    # interims at w=8 — speculative_interims); deeper
-                    # programs would compile but never dispatch.
-                    r_cap = (
-                        -(-self.short_budget // self.spec_w)
-                        if pool is self.short
-                        else self.verify_rounds_choices[-1]
-                    )
+                    # decode). LONG pool only: drafts reach the short pool
+                    # only via speculative_interims, which cannot fire with
+                    # the reference constants (the sliding last-20-chunk
+                    # window never repeats a start between 1 s-cadence
+                    # interims — measured verify_rounds=0, INTERIM_BENCH);
+                    # final decodes (the drafts that DO fire) have >=50
+                    # token budgets and always route long. A drafted short
+                    # request post-warmup degrades losslessly to the plain
+                    # k ladder (_pick_verify_rounds returns None).
+                    r_cap = self.verify_rounds_choices[-1]
                     for r in self.verify_rounds_choices:
                         if r > r_cap:
                             continue
@@ -1530,7 +1550,10 @@ class BatchedEngine:
             def submit(thunk, deferred=False, replay_bg=False):
                 nonlocal n_jobs
                 if fast and deferred:
-                    deferred_thunks.append(thunk)
+                    # keep the replay marker: execution-heavy programs get
+                    # their link paid by an idle-tick replay after the
+                    # background compile lands, not by the first request
+                    deferred_thunks.append((thunk, replay_bg))
                     return
                 n_jobs += 1
                 futures.append(ex.submit(thunk, lower_only=True))
@@ -1648,12 +1671,19 @@ class BatchedEngine:
                 # the scheduler starts using it on the next tick.
                 with ThreadPoolExecutor(max_workers=4) as bex:
                     futs = [
-                        bex.submit(t, lower_only=True) for t in deferred_thunks
+                        bex.submit(t, lower_only=True)
+                        for t, _ in deferred_thunks
                     ]
                     done = 0
-                    for f in futs:
+                    for f, (t, wants_replay) in zip(futs, deferred_thunks):
                         try:
                             f.result()
+                            if wants_replay:
+                                # idle ticks pay the server-side link so the
+                                # first real dispatch doesn't (deque.append
+                                # is GIL-atomic; the scheduler pops on the
+                                # loop thread)
+                                self._replay_queue.append(t)
                         except Exception as e:  # pragma: no cover
                             logger.warning("background warmup compile: %s", e)
                         done += 1
@@ -2031,6 +2061,24 @@ class BatchedEngine:
             0.9 * self.eager_accept_ema + 0.1 * (1.0 if confirmed else 0.0)
         )
         self.stats["eager_accept_ema"] = round(self.eager_accept_ema, 3)
+
+    def confirm_speculative(self, stream_idx: int) -> None:
+        """Promote a stream's in-flight eager final from speculative to
+        confirmed: the VAD gate certified the speech end, so the decode is
+        now real committed work and _pick_k may k-escalate for it during
+        short-quiet windows (the escalation it was denied while the bet
+        was still open)."""
+        for s in self.long.slots:
+            r = s.request
+            if (
+                s.active
+                and getattr(r, "speculative", False)
+                and getattr(r, "stream_idx", None) == stream_idx
+            ):
+                r.speculative = False
+        for r in self._ring_backlog:
+            if r.speculative and r.stream_idx == stream_idx:
+                r.speculative = False
 
     def _sweep_cancelled(self) -> None:
         """Free slots and drop backlog entries whose caller cancelled (eager
@@ -2805,6 +2853,21 @@ class BatchedEngine:
             self.dual_k_choices if pool is self.short else _DECODE_K_CHOICES
         )
         k = next((c for c in choices if c >= min_rem), choices[-1])
+        # Quiet-window k-escalation applies only on behalf of CONFIRMED
+        # finals. An unconfirmed eager final is a bet that speech ended; if
+        # it loses, the resumed speech's interims queue behind the escalated
+        # multi-hundred-ms program (EAGER_FINALS_BENCH worstcase_eager_on
+        # pre-fix: interim p95 1.26 s). Sessions promote the request at gate
+        # confirmation (confirm_speculative), restoring escalation for the
+        # remainder of the decode.
+        long_quiet_confirmed = (
+            pool is self.long
+            and self._short_quiet()
+            and any(
+                s.active and not getattr(s.request, "speculative", False)
+                for s in pool.slots
+            )
+        )
         if (
             self._ring_backlog
             or self._host_backlog
@@ -2812,7 +2875,7 @@ class BatchedEngine:
             or not self._ring_requests.empty()
             or not self._vad_ring_requests.empty()
             or not self._vad_requests.empty()
-        ) and not (pool is self.long and self._short_quiet()):
+        ) and not long_quiet_confirmed:
             # EXCEPTION (COMMIT_LATENCY_BENCH): with the short class quiet,
             # the pending items are long-class finals (bounded by their own
             # multi-tick decode, which a larger k SPEEDS UP) and VAD gate
@@ -2834,7 +2897,7 @@ class BatchedEngine:
             # the tuned long cap exactly in that scenario.
             if pool is self.short:
                 cap = self.live_k_cap
-            elif self._short_quiet():
+            elif long_quiet_confirmed:
                 # short class quiet (silence phase): finals may run a
                 # bigger k — the committed path gains k/long_live_k fewer
                 # ticks per final (COMMIT_LATENCY_BENCH A/B) and ongoing
@@ -2844,6 +2907,13 @@ class BatchedEngine:
             else:
                 cap = self.long_live_k_cap
             k = min(k, cap)
+        if self._warmed and (k, None) not in pool.compiled_decode:
+            # fast boot defers the long pool's escalation rungs (k > live
+            # cap) to background compile; until one registers, clamp to the
+            # largest compiled rung below it — never JIT mid-serving
+            reg = [c for c in choices if (c, None) in pool.compiled_decode]
+            if reg:
+                k = next((c for c in reversed(reg) if c <= k), reg[0])
         return k
 
     def _short_quiet(self) -> bool:

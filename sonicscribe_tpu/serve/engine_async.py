@@ -40,8 +40,9 @@ class ThreadedEngine:
         hotwords: Optional[list[str]] = None,
         draft_tokens=None,  # accepted for interface parity; the threaded
         # engine decodes sequentially and gains nothing from speculation
+        speculative: bool = False,  # ditto (no k scheduling to protect)
     ) -> TranscribeResult:
-        del draft_tokens
+        del draft_tokens, speculative
         loop = asyncio.get_running_loop()
         return await loop.run_in_executor(
             self._pool,

@@ -204,10 +204,14 @@ class StreamSession:
 
     async def _transcribe_range(
         self, audio, start_id: int, end_id: int, max_new_tokens: int,
-        draft_tokens=None,
+        draft_tokens=None, speculative: bool = False,
     ):
         """Dispatch to the zero-upload ring path when available."""
         extra = {"draft_tokens": draft_tokens} if draft_tokens is not None else {}
+        if speculative:
+            # unconfirmed eager final: the engine denies it quiet-window
+            # k-escalation until confirm_speculative() promotes it
+            extra["speculative"] = True
         if self.stream_idx is not None:
             return await self.engine.transcribe_ring(
                 self.stream_idx,
@@ -343,6 +347,7 @@ class StreamSession:
                 audio, start_id, end_id,
                 self.config.final_token_budget(duration),
                 draft_tokens=self._segment_draft(),
+                speculative=True,
             )
 
     def _cancel_eager(self) -> bool:
@@ -375,6 +380,11 @@ class StreamSession:
                 e_start == start_id
                 and duration <= self.config.max_segment_duration
             ):
+                # the bet is confirmed: promote the in-flight decode so the
+                # engine may k-escalate its remaining steps during quiet
+                promote = getattr(self.engine, "confirm_speculative", None)
+                if callable(promote) and self.stream_idx is not None:
+                    promote(self.stream_idx)
                 try:
                     result = await task
                 except asyncio.CancelledError:

@@ -93,7 +93,10 @@ class RecordingEngine:
         rms = float(np.sqrt(np.mean(audio**2))) if len(audio) else 0.0
         return (1.0 if rms > 0.01 else 0.0), None
 
-    async def transcribe(self, audio, sample_rate, max_new_tokens, hotwords=None):
+    async def transcribe(
+        self, audio, sample_rate, max_new_tokens, hotwords=None,
+        speculative=False,
+    ):
         n = len(self.calls)
         self.calls.append((len(audio), max_new_tokens))
         try:
@@ -405,6 +408,40 @@ class TestAdaptiveEagerGate:
             assert eng.eager_accept_ema >= eng.eager_accept_min
             assert all(eng.eager_ok() for _ in range(4))
         finally:
+            eng.shutdown()
+
+    def test_speculative_final_denied_quiet_k_escalation(self):
+        """An UNCONFIRMED eager final must not trigger the long pool's
+        quiet-window k-escalation: if the bet loses, the resumed speech's
+        interims queue behind the escalated multi-hundred-ms program
+        (EAGER_FINALS_BENCH worstcase interim p95 regression). Promotion at
+        gate confirmation restores escalation for the remaining steps."""
+        import time
+        from types import SimpleNamespace
+
+        eng = self._engine()
+        try:
+            idx = eng.alloc_stream()  # live realtime stream -> caps apply
+            assert idx is not None
+            slot = eng.long.slots[0]
+            slot.active = True
+            slot.budget = 200
+            slot.steps_seen = 0
+            slot.request = SimpleNamespace(speculative=True, stream_idx=idx)
+            # short class quiet (silence phase)
+            eng._last_short_admit = time.perf_counter() - 10.0
+            assert eng._short_quiet()
+            assert eng._pick_k(eng.long) <= eng.long_live_k_cap
+            # gate confirmation promotes the in-flight request
+            eng.confirm_speculative(idx)
+            assert not slot.request.speculative
+            assert eng._pick_k(eng.long) == eng.long_idle_k_cap
+            # ongoing interim traffic still suppresses escalation entirely
+            eng._last_short_admit = time.perf_counter()
+            assert eng._pick_k(eng.long) <= eng.long_live_k_cap
+        finally:
+            slot.active = False
+            slot.request = None
             eng.shutdown()
 
     def test_capacity_trumps_accept_rate(self):

@@ -33,7 +33,8 @@ class SlowFakeEngine:
         rms = float(np.sqrt(np.mean(audio**2))) if len(audio) else 0.0
         return (1.0 if rms > 0.01 else 0.0), None
 
-    async def transcribe(self, audio, sample_rate, max_new_tokens, hotwords=None):
+    async def transcribe(self, audio, sample_rate, max_new_tokens, hotwords=None,
+                         speculative=False):
         self.decodes += 1
         await asyncio.sleep(self.decode_delay_s)
         return TranscribeResult(

@@ -31,7 +31,7 @@ class RecordingEngine:
         return (1.0 if rms > 0.01 else 0.0), None
 
     async def transcribe(self, audio, sample_rate, max_new_tokens,
-                         hotwords=None, draft_tokens=None):
+                         hotwords=None, draft_tokens=None, speculative=False):
         self.n += 1
         self.calls.append({
             "max_new_tokens": max_new_tokens,

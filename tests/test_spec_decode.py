@@ -290,10 +290,14 @@ class TestEngineSpeculativeFinals:
 
 
 class TestEngineSpeculativeInterims:
-    """Short-pool verify path (speculative interims): interim-sized budgets
-    route to the SHORT pool, whose drafted requests must ride the verify
-    programs with the same lossless guarantee as finals
-    (serve/session.py _run_interim passes the previous interim's tokens)."""
+    """Short-pool verify path (speculative interims, default OFF): interim-
+    sized budgets route to the SHORT pool, whose drafted requests must ride
+    the verify programs with the same lossless guarantee as finals. With
+    the reference constants the session never produces such drafts (the
+    sliding interim window never repeats a start — see
+    config.speculative_interims), so production warmup skips the short
+    verify grid; these tests pin the lossless contract for configurations
+    that can fire it (un-warmed engines JIT the verify program on demand)."""
 
     @pytest.fixture(scope="class")
     def engine_stack(self):

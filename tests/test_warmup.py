@@ -110,6 +110,43 @@ def test_fast_warmup_b1_admission_before_background(stack):
         eng.shutdown()
 
 
+def test_fast_warmup_pick_k_clamps_to_registered_rungs(stack):
+    """fast=True defers the long pool's escalation rungs (k > live cap):
+    until the background pass registers them, _pick_k must clamp to a
+    compiled rung — a mid-serving JIT of a k=32 scan stalls every live
+    session for seconds. After registration the escalation returns."""
+    import time
+    from types import SimpleNamespace
+
+    cfg, tr = stack
+    eng = BatchedEngine(tr, EnergyVad(), slots=8, max_decode_tokens=200)
+    try:
+        eng.warmup(fast=True)
+        # escalation rungs deferred at ready time
+        ks0 = {k for k, r in eng.long.compiled_decode if r is None}
+        assert ks0 and max(ks0) <= eng.long_live_k_cap, ks0
+        # a confirmed long final with a big remaining budget during a quiet
+        # window WANTS long_idle_k_cap, but must get a registered rung
+        assert eng.alloc_stream() is not None  # live stream: k caps apply
+        slot = eng.long.slots[0]
+        slot.active = True
+        slot.budget = 200
+        slot.steps_seen = 0
+        slot.request = SimpleNamespace(speculative=False, stream_idx=None)
+        eng._last_short_admit = time.perf_counter() - 10.0
+        k = eng._pick_k(eng.long)
+        assert (k, None) in eng.long.compiled_decode, k
+        assert k <= eng.long_live_k_cap
+        eng.warmup_join(timeout=300)
+        ks1 = {k for k, r in eng.long.compiled_decode if r is None}
+        assert max(ks1) > eng.long_live_k_cap  # escalation rungs landed
+        assert eng._pick_k(eng.long) == eng.long_idle_k_cap
+        slot.active = False
+        slot.request = None
+    finally:
+        eng.shutdown()
+
+
 def test_fast_warmup_background_replay_drains_when_idle(stack):
     """fast=True leaves the execution-heavy long-pool replays (big-bucket
     prefills, k>=16 decode) in _replay_queue; serving works immediately,

@@ -918,9 +918,18 @@ class BatchedEngine:
         self.spec_accept_min = 0.35
         # eager (speculative-endpoint) finals: measured bet-confirmation
         # rate, same adaptive-gate philosophy as spec_accept_ema (see
-        # eager_ok/eager_outcome)
+        # eager_ok/eager_outcome). Outcomes FOLD into the EMA at most once
+        # per gate window (eager_window_s): on a lockstep workload a single
+        # wave of 50 synchronized confirmations would otherwise pump the EMA
+        # 0 -> ~1 in one burst and reopen the launch/escalation floodgate to
+        # 50 full-budget bets that all lose (measured: 11-70 s interim p95
+        # spikes on the drifting worst case, EAGER_FINALS_BENCH). One
+        # window's wave = one observation of its mean outcome.
         self.eager_accept_ema = 1.0
         self.eager_accept_min = 0.5
+        self.eager_window_s = 0.64  # 0 -> fold every outcome (tests)
+        self._eager_pending: list[bool] = []
+        self._eager_fold_t = time.perf_counter()
         self._eager_probe = 0
         self._warmed = False  # set by warmup(); gates compiled-grid-only dispatch
         self.pools = (self.short, self.long)
@@ -2047,6 +2056,7 @@ class BatchedEngine:
         """
         if self.long.free * 4 < len(self.long.slots):
             return False
+        self._fold_eager_outcomes()
         if self.eager_accept_ema >= self.eager_accept_min:
             return True
         self._eager_probe += 1
@@ -2056,10 +2066,21 @@ class BatchedEngine:
         """Session-reported result of one eager bet: True when the gate
         confirmed the speech end and the speculative final was committed,
         False when speech resumed (decode discarded) or the commit could not
-        use it (range/duration mismatch)."""
-        self.eager_accept_ema = (
-            0.9 * self.eager_accept_ema + 0.1 * (1.0 if confirmed else 0.0)
-        )
+        use it (range/duration mismatch). Buffered; folds into the EMA once
+        per eager_window_s (burst resistance — see the field comment)."""
+        self._eager_pending.append(bool(confirmed))
+        self._fold_eager_outcomes()
+
+    def _fold_eager_outcomes(self) -> None:
+        now = time.perf_counter()
+        if not self._eager_pending or (
+            now - self._eager_fold_t < self.eager_window_s
+        ):
+            return
+        mean = sum(self._eager_pending) / len(self._eager_pending)
+        self._eager_pending.clear()
+        self._eager_fold_t = now
+        self.eager_accept_ema = 0.9 * self.eager_accept_ema + 0.1 * mean
         self.stats["eager_accept_ema"] = round(self.eager_accept_ema, 3)
 
     def confirm_speculative(self, stream_idx: int) -> None:
@@ -2078,6 +2099,16 @@ class BatchedEngine:
                 r.speculative = False
         for r in self._ring_backlog:
             if r.speculative and r.stream_idx == stream_idx:
+                r.speculative = False
+        # a synchronized final wave can outnumber the slot pool: requests
+        # still sitting in the intake queue at confirmation must not stay
+        # marked speculative for their whole (post-confirmation) decode
+        for r in list(getattr(self._ring_requests, "_queue", ())):
+            if (
+                isinstance(r, _RingTranscribeReq)
+                and r.speculative
+                and r.stream_idx == stream_idx
+            ):
                 r.speculative = False
 
     def _sweep_cancelled(self) -> None:
@@ -2853,18 +2884,27 @@ class BatchedEngine:
             self.dual_k_choices if pool is self.short else _DECODE_K_CHOICES
         )
         k = next((c for c in choices if c >= min_rem), choices[-1])
-        # Quiet-window k-escalation applies only on behalf of CONFIRMED
-        # finals. An unconfirmed eager final is a bet that speech ended; if
-        # it loses, the resumed speech's interims queue behind the escalated
-        # multi-hundred-ms program (EAGER_FINALS_BENCH worstcase_eager_on
-        # pre-fix: interim p95 1.26 s). Sessions promote the request at gate
-        # confirmation (confirm_speculative), restoring escalation for the
-        # remainder of the decode.
+        # Quiet-window k-escalation is CONFIDENCE-PRICED for unconfirmed
+        # eager finals. A lost bet's escalated k=32 scan blocks the resumed
+        # speech's interims for hundreds of ms (EAGER_FINALS_BENCH
+        # worstcase_eager_on pre-gate: interim p95 1.26 s), but denying
+        # escalation to ALL unconfirmed bets erases the eager win in the
+        # utterance regime where bets (almost) always confirm (measured:
+        # committed p50 1057 ms gated vs ~460 ms escalated). So speculation
+        # escalates while the measured bet-confirmation EMA is healthy
+        # (>= eager_accept_min — the same signal that gates launches) and is
+        # capped at the live k otherwise; sessions promote the request at
+        # gate confirmation (confirm_speculative) either way.
+        spec_escalate = self.eager_accept_ema >= self.eager_accept_min
         long_quiet_confirmed = (
             pool is self.long
             and self._short_quiet()
             and any(
-                s.active and not getattr(s.request, "speculative", False)
+                s.active
+                and (
+                    spec_escalate
+                    or not getattr(s.request, "speculative", False)
+                )
                 for s in pool.slots
             )
         )

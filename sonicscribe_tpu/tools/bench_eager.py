@@ -90,6 +90,7 @@ def main() -> None:
         # confirmation EMA down by design; don't leak that into the next run
         engine.eager_accept_ema = 1.0
         engine._eager_probe = 0
+        engine._eager_pending.clear()
         # settle pass absorbs scheduling warm-in and compile stragglers
         loop.run_until_complete(
             run_load(engine, app_cfg, n_streams, max(4.0, seconds / 2),
@@ -119,6 +120,8 @@ def main() -> None:
     engine.shutdown()
     loop.close()
 
+    from sonicscribe_tpu.tools.loadtest import tunnel_rtt_ms
+
     out = {
         "bench": "eager_finals",
         "model": "tiny" if quick else "nano",
@@ -126,6 +129,7 @@ def main() -> None:
         "seconds_per_run": seconds,
         "warmup_s": warmup_s,
         "backend": jax.default_backend(),
+        "tunnel_rtt_ms": tunnel_rtt_ms(),
         "note": "A/B of AppConfig.eager_finals on one warmed engine, EOS "
                 "suppressed (worst case: finals decode their full 50+5*dur "
                 "budget). committed latency is measured from gate "

@@ -123,6 +123,8 @@ def main() -> None:
     short_active = [
         dict(t["active"]).get("short", 0) for t in busy
     ]
+    from sonicscribe_tpu.tools.loadtest import tunnel_rtt_ms
+
     out = {
         "bench": "interim_decomposition",
         "model": "tiny" if quick else "nano",
@@ -130,6 +132,7 @@ def main() -> None:
         "seconds": seconds,
         "warmup_s": warmup_s,
         "backend": jax.default_backend(),
+        "tunnel_rtt_ms": tunnel_rtt_ms(),
         "interim_p50_ms": m["interim_p50_ms"],
         "interim_p95_ms": m["interim_p95_ms"],
         "committed_p50_ms": m["committed_p50_ms"],

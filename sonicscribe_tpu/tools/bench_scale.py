@@ -50,8 +50,13 @@ def main():
     no_eos[cfg.eos_id] = -1e9
     no_eos[cfg.pad_id] = -1e9
 
+    from sonicscribe_tpu.tools.loadtest import tunnel_rtt_ms
+
     sr = 16000
-    results = {"backend": jax.default_backend()}
+    results = {
+        "backend": jax.default_backend(),
+        "tunnel_rtt_ms": tunnel_rtt_ms(),
+    }
 
     # ---- 1) long-file batched RTF: 24 segments, 24 slots ----
     if "--skip-file" not in sys.argv:

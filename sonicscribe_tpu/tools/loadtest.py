@@ -31,6 +31,29 @@ CHUNK_SAMPLES = 1024
 CHUNK_BYTES = 2048
 
 
+def tunnel_rtt_ms(n: int = 20) -> float:
+    """Measured device round-trip (tiny dispatch + fetch) p50, in ms.
+
+    The tunnel backend's RTT varies by epoch — observed 27 ms healthy vs
+    ~60 ms degraded, which scales every dispatch-bound latency in the
+    bench artifacts by ~2x. Benches record this alongside their numbers so
+    cross-run comparisons can be normalized; within-run A/Bs are unaffected."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8), jnp.float32)
+    f = jax.jit(lambda a: a + 1.0)
+    np.asarray(f(x))  # compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return round(float(np.percentile(ts, 50)), 1)
+
+
 def make_stream_audio(
     total_s: float, seed: int, speech_s: float = 2.0, silence_s: float = 1.5
 ) -> bytes:

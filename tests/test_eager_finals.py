@@ -395,6 +395,7 @@ class TestAdaptiveEagerGate:
     def test_closes_on_lost_bets_probes_and_reopens(self):
         eng = self._engine()
         try:
+            eng.eager_window_s = 0.0  # fold every outcome (no burst window)
             assert eng.eager_ok()  # fresh engine: open
             for _ in range(10):
                 eng.eager_outcome(False)
@@ -410,12 +411,14 @@ class TestAdaptiveEagerGate:
         finally:
             eng.shutdown()
 
-    def test_speculative_final_denied_quiet_k_escalation(self):
-        """An UNCONFIRMED eager final must not trigger the long pool's
-        quiet-window k-escalation: if the bet loses, the resumed speech's
-        interims queue behind the escalated multi-hundred-ms program
-        (EAGER_FINALS_BENCH worstcase interim p95 regression). Promotion at
-        gate confirmation restores escalation for the remaining steps."""
+    def test_speculative_escalation_confidence_priced(self):
+        """Quiet-window k-escalation for an UNCONFIRMED eager final is
+        priced by the bet-confirmation EMA: healthy EMA -> escalate (bets
+        almost always confirm, the eager win depends on it); collapsed EMA
+        -> cap at the live k so a lost bet's escalated program can't block
+        the resumed speech's interims (EAGER_FINALS_BENCH worstcase interim
+        p95). Promotion at gate confirmation restores escalation regardless
+        of the EMA."""
         import time
         from types import SimpleNamespace
 
@@ -431,8 +434,14 @@ class TestAdaptiveEagerGate:
             # short class quiet (silence phase)
             eng._last_short_admit = time.perf_counter() - 10.0
             assert eng._short_quiet()
+            # healthy EMA: speculation escalates like a confirmed final
+            assert eng.eager_accept_ema >= eng.eager_accept_min
+            assert eng._pick_k(eng.long) == eng.long_idle_k_cap
+            # collapsed EMA (drifting workload): speculation is capped
+            eng.eager_accept_ema = 0.0
             assert eng._pick_k(eng.long) <= eng.long_live_k_cap
-            # gate confirmation promotes the in-flight request
+            # gate confirmation promotes the in-flight request: escalation
+            # returns even with the EMA collapsed
             eng.confirm_speculative(idx)
             assert not slot.request.speculative
             assert eng._pick_k(eng.long) == eng.long_idle_k_cap
@@ -442,6 +451,52 @@ class TestAdaptiveEagerGate:
         finally:
             slot.active = False
             slot.request = None
+            eng.shutdown()
+
+    def test_confirm_speculative_reaches_queued_requests(self):
+        """A synchronized final wave can outnumber the slot pool: a request
+        still in the intake queue at confirmation must be promoted too, or
+        it decodes its whole (post-confirmation) budget de-escalated."""
+        import asyncio as aio
+
+        from sonicscribe_tpu.engine.batcher import _RingTranscribeReq
+
+        eng = self._engine()
+        try:
+            idx = eng.alloc_stream()
+            loop = aio.new_event_loop()
+            req = _RingTranscribeReq(
+                idx, 0, 10, 32, None, 0.64, loop.create_future(), 0.0,
+                speculative=True,
+            )
+            eng._ring_requests.put_nowait(req)
+            eng.confirm_speculative(idx)
+            assert not req.speculative
+            loop.close()
+        finally:
+            eng.shutdown()
+
+    def test_synchronized_confirmation_wave_counts_once(self):
+        """Lockstep workloads deliver 50 outcomes in one gate window; the
+        EMA must treat the wave as ONE observation — a collapsed gate that
+        reopened on a single synchronized confirmation wave floods the next
+        maybe_end with 50 full-budget escalated bets (measured 11-70 s
+        interim p95 spikes, EAGER_FINALS_BENCH worstcase)."""
+        eng = self._engine()
+        try:
+            eng.eager_window_s = 0.0
+            for _ in range(10):
+                eng.eager_outcome(False)
+            assert eng.eager_accept_ema < eng.eager_accept_min
+            # a synchronized wave of 50 confirmations within one window
+            eng.eager_window_s = 0.64
+            eng._eager_fold_t -= 1.0  # window elapsed before the wave
+            for _ in range(50):
+                eng.eager_outcome(True)
+            # one fold of mean=1.0: EMA moves by at most 0.1, gate stays shut
+            assert eng.eager_accept_ema < eng.eager_accept_min
+            assert len(eng._eager_pending) <= 49  # rest buffered, not folded
+        finally:
             eng.shutdown()
 
     def test_capacity_trumps_accept_rate(self):

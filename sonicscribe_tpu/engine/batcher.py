@@ -1421,8 +1421,11 @@ class BatchedEngine:
                                 )
                                 pool.compiled_prefill.add((bucket, sb, B))
 
+                            # host-audio SHORT prefills serve only ring-
+                            # overflow sessions' interims: B=1 suffices at
+                            # ready (admission splits to compiled sizes)
                             run(host_prefill,
-                                deferred=pool is self.long and B > 1,
+                                deferred=B > 1,
                                 replay_bg=pool is self.long)
                 # the short pool's budgets never exceed short_budget, so its
                 # k ladder stops there — bigger programs would compile but
@@ -1505,8 +1508,14 @@ class BatchedEngine:
                                 )
                                 pool.compiled_ring_prefill.add((cb, sb, B))
 
+                            # a lockstep 50-stream interim wave admits as
+                            # B<=8 chunks (extra ~30-60 ms/wave) until the
+                            # background pass registers the 16/32 rungs —
+                            # cheaper than blocking cold boot on their
+                            # compiles
                             run(ring_prefill,
-                                deferred=pool is self.long and B > 1,
+                                deferred=(pool is self.long and B > 1)
+                                or (pool is self.short and B > 8),
                                 replay_bg=pool is self.long and cb != smallest_cb)
             if self.fuse_dual:
                 for k in self.dual_k_choices:

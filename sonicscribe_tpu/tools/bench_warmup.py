@@ -88,11 +88,14 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    from sonicscribe_tpu.tools.loadtest import tunnel_rtt_ms
+
     json.dump(
         {
             "bench": "warmup",
             "backend": "tpu",
             "model": "nano",
+            "tunnel_rtt_ms": tunnel_rtt_ms(),
             "note": "fast: two-phase cold boot with EMPTY caches (ready_s = "
                     "boot-to-serving; with_background_s adds the deferred "
                     "B>1/rows/verify grid; epoch-dependent — remote-compile "

@@ -276,7 +276,7 @@ def main():
             except Exception as e:
                 stream_metrics["stream_int8dec_error"] = str(e)[:200]
 
-    from sonicscribe_tpu.tools.loadtest import tunnel_rtt_ms
+    from sonicscribe_tpu.tools.loadtest import compile_probe_s, tunnel_rtt_ms
 
     result = {
         "metric": "file_rtf_batched",
@@ -284,6 +284,7 @@ def main():
         "unit": "ratio",
         "vs_baseline": round(0.02 / batched_rtf, 3),
         "tunnel_rtt_ms": tunnel_rtt_ms(),
+        "compile_probe_s": compile_probe_s(),
         "single_stream_rtf_30s": round(rtf, 5),
         "file_single_segment_engine_rtf": round(single_engine_rtf, 5),
         "file_single_segment_engine_wall_s": round(single_dt, 2),

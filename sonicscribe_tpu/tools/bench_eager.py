@@ -120,7 +120,7 @@ def main() -> None:
     engine.shutdown()
     loop.close()
 
-    from sonicscribe_tpu.tools.loadtest import tunnel_rtt_ms
+    from sonicscribe_tpu.tools.loadtest import compile_probe_s, tunnel_rtt_ms
 
     out = {
         "bench": "eager_finals",
@@ -130,6 +130,7 @@ def main() -> None:
         "warmup_s": warmup_s,
         "backend": jax.default_backend(),
         "tunnel_rtt_ms": tunnel_rtt_ms(),
+        "compile_probe_s": compile_probe_s(),
         "note": "A/B of AppConfig.eager_finals on one warmed engine, EOS "
                 "suppressed (worst case: finals decode their full 50+5*dur "
                 "budget). committed latency is measured from gate "

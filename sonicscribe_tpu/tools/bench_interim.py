@@ -123,7 +123,7 @@ def main() -> None:
     short_active = [
         dict(t["active"]).get("short", 0) for t in busy
     ]
-    from sonicscribe_tpu.tools.loadtest import tunnel_rtt_ms
+    from sonicscribe_tpu.tools.loadtest import compile_probe_s, tunnel_rtt_ms
 
     out = {
         "bench": "interim_decomposition",
@@ -133,6 +133,7 @@ def main() -> None:
         "warmup_s": warmup_s,
         "backend": jax.default_backend(),
         "tunnel_rtt_ms": tunnel_rtt_ms(),
+        "compile_probe_s": compile_probe_s(),
         "interim_p50_ms": m["interim_p50_ms"],
         "interim_p95_ms": m["interim_p95_ms"],
         "committed_p50_ms": m["committed_p50_ms"],

@@ -50,12 +50,13 @@ def main():
     no_eos[cfg.eos_id] = -1e9
     no_eos[cfg.pad_id] = -1e9
 
-    from sonicscribe_tpu.tools.loadtest import tunnel_rtt_ms
+    from sonicscribe_tpu.tools.loadtest import compile_probe_s, tunnel_rtt_ms
 
     sr = 16000
     results = {
         "backend": jax.default_backend(),
         "tunnel_rtt_ms": tunnel_rtt_ms(),
+        "compile_probe_s": compile_probe_s(),
     }
 
     # ---- 1) long-file batched RTF: 24 segments, 24 slots ----

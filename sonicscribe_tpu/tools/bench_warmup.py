@@ -88,7 +88,7 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    from sonicscribe_tpu.tools.loadtest import tunnel_rtt_ms
+    from sonicscribe_tpu.tools.loadtest import compile_probe_s, tunnel_rtt_ms
 
     json.dump(
         {
@@ -96,6 +96,7 @@ def main() -> None:
             "backend": "tpu",
             "model": "nano",
             "tunnel_rtt_ms": tunnel_rtt_ms(),
+            "compile_probe_s": compile_probe_s(),
             "note": "fast: two-phase cold boot with EMPTY caches (ready_s = "
                     "boot-to-serving; with_background_s adds the deferred "
                     "B>1/rows/verify grid; epoch-dependent — remote-compile "

@@ -54,6 +54,28 @@ def tunnel_rtt_ms(n: int = 20) -> float:
     return round(float(np.percentile(ts, 50)), 1)
 
 
+def compile_probe_s() -> float:
+    """Wall seconds for ONE tiny fresh compile + first execution.
+
+    The tunnel's remote compile/link service has its own queue, invisible
+    to tunnel_rtt_ms (whose program is already compiled) — observed to
+    stretch a warmup's dispatch-replay phase 14 s -> 230 s after sustained
+    full-grid compile storms while the RTT probe still read ~25 ms. A
+    unique shape defeats both the in-process jit cache and the persistent
+    compilation cache, so this prices the service queue as-is."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    # unique-per-call static shape -> guaranteed fresh compile
+    dim = 3 + (time.perf_counter_ns() // 1000) % 97
+    x = jnp.ones((int(dim), 5), jnp.float32)
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda a: (a * 2.0).sum(axis=1))(x))
+    return round(time.perf_counter() - t0, 2)
+
+
 def make_stream_audio(
     total_s: float, seed: int, speech_s: float = 2.0, silence_s: float = 1.5
 ) -> bytes:

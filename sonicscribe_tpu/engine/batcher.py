@@ -931,6 +931,15 @@ class BatchedEngine:
         self._eager_pending: list[bool] = []
         self._eager_fold_t = time.perf_counter()
         self._eager_probe = 0
+        # speculation may only spend SLACK device time: when the interim
+        # class is already queueing (oversubscribed — e.g. 100 streams on
+        # one chip), eager bets' prefill+decode thrash compounds the
+        # congestion (measured: 100-stream interim p50 322 -> 738 ms,
+        # committed 2.0 -> 8.0 s with the gate absent, SCALE_BENCH).
+        # short_queue_ema tracks admission wait per reaped interim; above
+        # the budget the launch gate closes outright.
+        self.short_queue_ema = 0.0
+        self.eager_queue_budget_ms = 75.0
         self._warmed = False  # set by warmup(); gates compiled-grid-only dispatch
         self.pools = (self.short, self.long)
         # the SHORT pool's k ladder derives from short_budget: _pick_k picks
@@ -2065,6 +2074,12 @@ class BatchedEngine:
         """
         if self.long.free * 4 < len(self.long.slots):
             return False
+        if self.short_queue_ema > self.eager_queue_budget_ms:
+            # no slack: interims are already queueing for admission —
+            # speculation would compound the congestion (SCALE_BENCH
+            # 100-stream regression). Self-regulating: closed launches let
+            # the queue drain, the EMA decays, the gate reopens.
+            return False
         self._fold_eager_outcomes()
         if self.eager_accept_ema >= self.eager_accept_min:
             return True
@@ -3145,6 +3160,11 @@ class BatchedEngine:
             lat["queue"].append(round(queue_s * 1e3, 1))
             lat["run"].append(round((dt - queue_s) * 1e3, 1))
             lat["tokens"].append(n_tokens)
+        if pool is self.short:
+            # congestion signal for the eager-finals launch gate (eager_ok)
+            self.short_queue_ema = (
+                0.9 * self.short_queue_ema + 0.1 * queue_s * 1e3
+            )
         draft = getattr(req, "draft_tokens", None)
         if self.speculative and draft is not None and len(draft) > 1:
             # acceptance = matching-prefix fraction of the draft vs the TRUE

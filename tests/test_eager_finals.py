@@ -499,6 +499,21 @@ class TestAdaptiveEagerGate:
         finally:
             eng.shutdown()
 
+    def test_congestion_closes_gate(self):
+        """Speculation may only spend slack: with the interim class already
+        queueing for admission (oversubscribed chip), the launch gate closes
+        regardless of the confirmation EMA (SCALE_BENCH 100-stream
+        regression: interim p50 322 -> 738 ms with the gate absent)."""
+        eng = self._engine()
+        try:
+            assert eng.eager_ok()
+            eng.short_queue_ema = eng.eager_queue_budget_ms + 1.0
+            assert not eng.eager_ok()
+            eng.short_queue_ema = 0.0
+            assert eng.eager_ok()
+        finally:
+            eng.shutdown()
+
     def test_capacity_trumps_accept_rate(self):
         eng = self._engine()
         try:

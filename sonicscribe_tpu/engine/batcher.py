@@ -937,9 +937,13 @@ class BatchedEngine:
         # congestion (measured: 100-stream interim p50 322 -> 738 ms,
         # committed 2.0 -> 8.0 s with the gate absent, SCALE_BENCH).
         # short_queue_ema tracks admission wait per reaped interim; above
-        # the budget the launch gate closes outright.
-        self.short_queue_ema = 0.0
+        # the budget the launch gate closes outright. Initialized ABOVE the
+        # budget: speculation must prove slack exists (one healthy interim
+        # wave decays it under budget in ~1 s) rather than thrash during the
+        # measurement transient — at 100 streams the open-gate transient
+        # alone cost ~37 ms of interim p50 (SCALE_BENCH re-record).
         self.eager_queue_budget_ms = 75.0
+        self.short_queue_ema = 2.0 * self.eager_queue_budget_ms
         self._warmed = False  # set by warmup(); gates compiled-grid-only dispatch
         self.pools = (self.short, self.long)
         # the SHORT pool's k ladder derives from short_budget: _pick_k picks

@@ -396,7 +396,11 @@ class TestAdaptiveEagerGate:
         eng = self._engine()
         try:
             eng.eager_window_s = 0.0  # fold every outcome (no burst window)
-            assert eng.eager_ok()  # fresh engine: open
+            # fresh engine: gate closed until slack is PROVEN (the queue
+            # EMA initializes above budget); one healthy wave opens it
+            assert not eng.eager_ok()
+            eng.short_queue_ema = 0.0  # slack proven
+            assert eng.eager_ok()
             for _ in range(10):
                 eng.eager_outcome(False)
             assert eng.eager_accept_ema < eng.eager_accept_min
@@ -506,11 +510,13 @@ class TestAdaptiveEagerGate:
         regression: interim p50 322 -> 738 ms with the gate absent)."""
         eng = self._engine()
         try:
-            assert eng.eager_ok()
-            eng.short_queue_ema = eng.eager_queue_budget_ms + 1.0
+            # initialized pessimistic: closed until slack is measured
+            assert eng.short_queue_ema > eng.eager_queue_budget_ms
             assert not eng.eager_ok()
             eng.short_queue_ema = 0.0
             assert eng.eager_ok()
+            eng.short_queue_ema = eng.eager_queue_budget_ms + 1.0
+            assert not eng.eager_ok()
         finally:
             eng.shutdown()
 

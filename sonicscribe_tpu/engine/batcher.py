@@ -944,7 +944,24 @@ class BatchedEngine:
         # alone cost ~37 ms of interim p50 (SCALE_BENCH re-record).
         self.eager_queue_budget_ms = 75.0
         self.short_queue_ema = 2.0 * self.eager_queue_budget_ms
+        # PEAK-HOLD congestion memory (two rotating half-windows): on a
+        # periodic workload the EMA decays below budget between congestion
+        # waves — measured at 100 streams the gate reopened every ~3.5 s
+        # cycle exactly at the synchronized silent window, launched ~100
+        # bets, and the wave's thrash re-spiked the queue it had just been
+        # measured clear of (same-process A/B: interim p95 0.44 s eager-off
+        # vs 11 s eager-on WITH the EMA gate). The gate therefore also holds
+        # the MAX queue wait seen in the last 2.5-5 s: any recent congestion
+        # anywhere in the cycle keeps speculation shut. Boots pessimistic
+        # like the EMA.
+        self._queue_peak_win_s = 2.5
+        self._queue_peak_cur = 2.0 * self.eager_queue_budget_ms
+        self._queue_peak_prev = 2.0 * self.eager_queue_budget_ms
+        self._queue_peak_t = time.perf_counter()
         self._warmed = False  # set by warmup(); gates compiled-grid-only dispatch
+        # watchdog: a scheduler tick blocked longer than this dumps all
+        # thread stacks to the log (diagnosis only; the tick keeps running)
+        self.tick_stall_dump_s = 60.0
         self.pools = (self.short, self.long)
         # the SHORT pool's k ladder derives from short_budget: _pick_k picks
         # the smallest choice >= min remaining <= short_budget-1, so the
@@ -2061,12 +2078,43 @@ class BatchedEngine:
 
     # ---------------- scheduler ----------------
 
+    def _note_short_queue(self, q_ms: float) -> None:
+        """Fold one reaped interim's admission wait into the congestion
+        signals read by eager_ok: a smoothed EMA and a 2x2.5 s peak-hold
+        (see the __init__ field comment for why both exist)."""
+        self.short_queue_ema = 0.9 * self.short_queue_ema + 0.1 * q_ms
+        self._rotate_queue_peak()
+        self._queue_peak_cur = max(self._queue_peak_cur, q_ms)
+
+    def _rotate_queue_peak(self) -> None:
+        now = time.perf_counter()
+        if now - self._queue_peak_t >= self._queue_peak_win_s:
+            self._queue_peak_prev = (
+                0.0
+                if now - self._queue_peak_t >= 2 * self._queue_peak_win_s
+                else self._queue_peak_cur
+            )
+            self._queue_peak_cur = 0.0
+            self._queue_peak_t = now
+
+    def _short_queue_peak_ms(self) -> float:
+        self._rotate_queue_peak()
+        return max(self._queue_peak_cur, self._queue_peak_prev)
+
     def eager_ok(self) -> bool:
         """Launch gate for sessions' eager (speculative-endpoint) finals
-        (serve/session.py _start_eager). Two conditions:
+        (serve/session.py _start_eager). Conditions:
 
         - capacity: the long pool must have slack, so discarded speculation
-          never displaces confirmed finals or file segments;
+          never displaces confirmed finals or file segments — instantaneous
+          free-slot fraction, an empty final-class backlog (a bet that must
+          WAIT for a slot has no latency advantage and clogs admission), and
+          a cap on concurrent speculative slots (half the pool);
+        - congestion: no recent interim admission queueing — the smoothed
+          EMA *and* a peak-hold over the last 2.5-5 s (the EMA alone decays
+          between a periodic workload's congestion waves and reopened the
+          gate exactly at each synchronized silent window, SCALE_BENCH
+          100-stream A/B);
         - measured confirmation rate: sessions report each bet's outcome
           (eager_outcome), and below the floor the gate closes except for
           every 8th candidate, which launches as a measurement probe — on a
@@ -2078,11 +2126,25 @@ class BatchedEngine:
         """
         if self.long.free * 4 < len(self.long.slots):
             return False
-        if self.short_queue_ema > self.eager_queue_budget_ms:
-            # no slack: interims are already queueing for admission —
-            # speculation would compound the congestion (SCALE_BENCH
-            # 100-stream regression). Self-regulating: closed launches let
-            # the queue drain, the EMA decays, the gate reopens.
+        if self._ring_backlog:
+            # confirmed work is already waiting for long slots
+            return False
+        n_spec = sum(
+            1
+            for s in self.long.slots
+            if s.active and getattr(s.request, "speculative", False)
+        )
+        if n_spec >= max(1, len(self.long.slots) // 2):
+            return False
+        if (
+            max(self.short_queue_ema, self._short_queue_peak_ms())
+            > self.eager_queue_budget_ms
+        ):
+            # no slack: interims queued for admission within the last few
+            # seconds — speculation would compound the congestion
+            # (SCALE_BENCH 100-stream regression). Self-regulating: closed
+            # launches let the queue drain, the signals decay/rotate clear,
+            # the gate reopens.
             return False
         self._fold_eager_outcomes()
         if self.eager_accept_ema >= self.eager_accept_min:
@@ -2223,12 +2285,31 @@ class BatchedEngine:
                     # one executor hop per tick: dispatch every phase, then
                     # resolve the PREVIOUS tick's device results — the fetch
                     # RTT overlaps this tick's device execution (pipelined)
-                    await loop.run_in_executor(
+                    fut = loop.run_in_executor(
                         None,
                         self._tick,
                         vad_batch,
                         ring_vad_batch,
                     )
+                    try:
+                        await asyncio.wait_for(
+                            asyncio.shield(fut), self.tick_stall_dump_s
+                        )
+                    except asyncio.TimeoutError:
+                        # a tick stuck this long means a device fetch hung
+                        # (observed rarely on the tunnel backend after
+                        # sustained overload). The tick CANNOT be abandoned
+                        # — it mutates pool state — so dump every thread's
+                        # stack for diagnosis and keep waiting.
+                        import faulthandler
+
+                        logger.error(
+                            "scheduler tick stalled > %.0f s — device fetch "
+                            "hung? dumping all thread stacks",
+                            self.tick_stall_dump_s,
+                        )
+                        faulthandler.dump_traceback(all_threads=True)
+                        await fut
 
                 self.stats["ticks"] += 1
                 if not did_work:
@@ -3166,9 +3247,7 @@ class BatchedEngine:
             lat["tokens"].append(n_tokens)
         if pool is self.short:
             # congestion signal for the eager-finals launch gate (eager_ok)
-            self.short_queue_ema = (
-                0.9 * self.short_queue_ema + 0.1 * queue_s * 1e3
-            )
+            self._note_short_queue(queue_s * 1e3)
         draft = getattr(req, "draft_tokens", None)
         if self.speculative and draft is not None and len(draft) > 1:
             # acceptance = matching-prefix fraction of the draft vs the TRUE

@@ -392,6 +392,17 @@ class TestAdaptiveEagerGate:
         tr = Transcriber(cfg, params, ByteTokenizer(cfg), prefill_buckets=(64,))
         return BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32)
 
+    @staticmethod
+    def _prove_slack(eng):
+        """Clear both congestion signals (EMA + peak-hold) as a run of
+        healthy interim waves would."""
+        eng.short_queue_ema = 0.0
+        eng._queue_peak_cur = 0.0
+        eng._queue_peak_prev = 0.0
+        import time as _t
+
+        eng._queue_peak_t = _t.perf_counter()
+
     def test_closes_on_lost_bets_probes_and_reopens(self):
         eng = self._engine()
         try:
@@ -399,7 +410,7 @@ class TestAdaptiveEagerGate:
             # fresh engine: gate closed until slack is PROVEN (the queue
             # EMA initializes above budget); one healthy wave opens it
             assert not eng.eager_ok()
-            eng.short_queue_ema = 0.0  # slack proven
+            self._prove_slack(eng)
             assert eng.eager_ok()
             for _ in range(10):
                 eng.eager_outcome(False)
@@ -513,10 +524,42 @@ class TestAdaptiveEagerGate:
             # initialized pessimistic: closed until slack is measured
             assert eng.short_queue_ema > eng.eager_queue_budget_ms
             assert not eng.eager_ok()
-            eng.short_queue_ema = 0.0
+            TestAdaptiveEagerGate._prove_slack(eng)
             assert eng.eager_ok()
             eng.short_queue_ema = eng.eager_queue_budget_ms + 1.0
             assert not eng.eager_ok()
+            # PEAK-HOLD: one recent congested wave closes the gate even
+            # after the EMA has decayed back under budget (periodic
+            # workloads: the 100-stream lockstep cycle reopened the
+            # EMA-only gate at every synchronized silent window)
+            TestAdaptiveEagerGate._prove_slack(eng)
+            eng._note_short_queue(10 * eng.eager_queue_budget_ms)
+            eng.short_queue_ema = 0.0  # EMA decayed; peak must still hold
+            assert not eng.eager_ok()
+        finally:
+            eng.shutdown()
+
+    def test_backlog_and_spec_cap_close_gate(self):
+        """Structural capacity checks: a non-empty final-class backlog or
+        speculative slots already holding half the long pool deny launches
+        regardless of the congestion signals."""
+        from types import SimpleNamespace
+
+        eng = self._engine()
+        try:
+            TestAdaptiveEagerGate._prove_slack(eng)
+            assert eng.eager_ok()
+            eng._ring_backlog.append(SimpleNamespace(speculative=False))
+            assert not eng.eager_ok()
+            eng._ring_backlog.clear()
+            n_cap = max(1, len(eng.long.slots) // 2)
+            for s in eng.long.slots[:n_cap]:
+                s.active = True
+                s.request = SimpleNamespace(speculative=True)
+            assert not eng.eager_ok()
+            for s in eng.long.slots:
+                s.active = False
+                s.request = None
         finally:
             eng.shutdown()
 

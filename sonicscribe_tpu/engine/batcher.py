@@ -2126,6 +2126,15 @@ class BatchedEngine:
         """
         if self.long.free * 4 < len(self.long.slots):
             return False
+        if self.N_STREAMS - len(self._free_streams) > len(self.long.slots):
+            # more live streams than long slots: a synchronized final wave
+            # oversubscribes the pool even WITHOUT speculation, so bets can
+            # only displace confirmed work. This is the structural form of
+            # the 100-streams-on-64-slots regression: the congestion signals
+            # alone reopened the gate whenever the (faster) int8 decode kept
+            # queue waits under budget, and the bet waves still thrashed
+            # (SCALE_BENCH int8 committed p50 2.3 -> 4.2 s).
+            return False
         if self._ring_backlog:
             # confirmed work is already waiting for long slots
             return False

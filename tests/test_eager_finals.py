@@ -563,6 +563,26 @@ class TestAdaptiveEagerGate:
         finally:
             eng.shutdown()
 
+    def test_stream_oversubscription_closes_gate(self):
+        """More live streams than long slots: a synchronized final wave
+        oversubscribes the pool even without speculation, so eager launches
+        are denied outright (the congestion signals alone reopened the gate
+        whenever a faster decode kept queue waits under budget, and the bet
+        waves still thrashed — SCALE_BENCH 100-stream int8)."""
+        eng = self._engine()  # slots=4
+        try:
+            TestAdaptiveEagerGate._prove_slack(eng)
+            assert eng.eager_ok()
+            claimed = [eng.alloc_stream() for _ in range(len(eng.long.slots) + 1)]
+            assert all(i is not None for i in claimed)
+            assert not eng.eager_ok()
+            eng.free_stream(claimed.pop())
+            assert eng.eager_ok()
+            for i in claimed:
+                eng.free_stream(i)
+        finally:
+            eng.shutdown()
+
     def test_capacity_trumps_accept_rate(self):
         eng = self._engine()
         try:

@@ -770,12 +770,21 @@ class BatchedEngine:
             from sonicscribe_tpu.parallel.mesh import (
                 batch_sharding,
                 replicate_params,
+                shard_params_tp,
             )
 
             def _shard(x, axis=0):
                 return jax.device_put(x, batch_sharding(mesh, x.ndim, axis=axis))
 
-            transcriber.params = replicate_params(transcriber.params, mesh)
+            if int(mesh.shape.get("model", 1)) > 1:
+                # dp x tp: weight matrices shard over "model"
+                # (Megatron-style column/row pairs, parallel/mesh.py); GSPMD
+                # inserts the psum at each row-parallel contraction. Per-slot
+                # state stays sharded over "data" and replicated over
+                # "model". Token parity: test_parallel.py.
+                transcriber.params = shard_params_tp(transcriber.params, mesh)
+            else:
+                transcriber.params = replicate_params(transcriber.params, mesh)
             if getattr(vad, "params", None) is not None:
                 vad.params = replicate_params(vad.params, mesh)
         else:

@@ -145,6 +145,9 @@ def build_prompt(
     # is identity-checked: id() alone could alias a NEW tokenizer allocated
     # at a garbage-collected one's address
     if hit is not None and hit[0] is tokenizer:
+        # refresh recency: steady-state keys (the backlog's prompts, rebuilt
+        # every scheduler tick) must survive adversarial hotword churn
+        _PROMPT_CACHE[key] = _PROMPT_CACHE.pop(key)
         return hit[1]
     full = instruction + format_hotwords_prompt(hotwords)
     prefix = [cfg.bos_id, cfg.user_id, cfg.audio_start_id]
@@ -153,7 +156,10 @@ def build_prompt(
         prefix_ids=np.asarray(prefix, np.int32),
         suffix_ids=np.asarray(suffix, np.int32),
     )
-    if len(_PROMPT_CACHE) > 4096:  # bound growth under adversarial hotwords
-        _PROMPT_CACHE.clear()
+    if len(_PROMPT_CACHE) >= 4096:  # bound growth under adversarial hotwords
+        # LRU eviction (hits re-insert, so dict order IS recency order): a
+        # wholesale clear() would let one burst of unique hotword sets force
+        # every backlogged request to re-tokenize on every subsequent tick
+        _PROMPT_CACHE.pop(next(iter(_PROMPT_CACHE)))
     _PROMPT_CACHE[key] = (tokenizer, prompt)
     return prompt

@@ -257,6 +257,22 @@ class TestTokenizer:
         assert p.suffix_ids[0] == cfg.audio_end_id
         assert p.suffix_ids[-1] == cfg.assistant_id
 
+    def test_prompt_cache_lru_survives_hotword_churn(self):
+        """Adversarial unique-hotword churn must not evict the steady-state
+        prompt (rebuilt per backlogged request per scheduler tick): the cache
+        evicts LRU one-at-a-time, and hits refresh recency."""
+        from sonicscribe_tpu.models import tokenizer as tk
+
+        cfg = tiny()
+        tok = ByteTokenizer(cfg)
+        steady = build_prompt(tok, cfg, hotwords=["jax"])
+        for i in range(5000):
+            build_prompt(tok, cfg, hotwords=[f"churn{i}"])
+            if i % 256 == 0:  # steady-state key is re-hit between churn bursts
+                assert build_prompt(tok, cfg, hotwords=["jax"]) is steady
+        assert len(tk._PROMPT_CACHE) <= 4096
+        assert build_prompt(tok, cfg, hotwords=["jax"]) is steady
+
 
 def test_param_count_tiny(setup):
     cfg, params = setup

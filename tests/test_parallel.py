@@ -10,6 +10,7 @@ from sonicscribe_tpu.parallel.mesh import (
     make_mesh,
     replicate_params,
     shard_batch,
+    shard_params_tp,
 )
 
 
@@ -192,6 +193,76 @@ def test_batched_engine_dp_speculative_finals(devices_ok, stack):
 
     got, stats = _run(go())
     assert stats.get("verify_rounds", 0) > 0, stats
+    for i, (g, w) in enumerate(zip(got, golden)):
+        np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
+
+
+def test_shard_params_tp_placement(devices_ok, stack):
+    """TP placement rules: column/row pairs shard over 'model', norms and
+    embeddings replicate, indivisible axes fall back to replication."""
+    cfg, tr = stack
+    mesh = make_mesh(8, model_parallel=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tp = shard_params_tp(params, mesh)
+
+    def spec(x):
+        return tuple(x.sharding.spec)
+
+    dl = tp["decoder"]["layers"]
+    assert spec(dl["qkv_w"]) == (None, None, "model")
+    assert spec(dl["o_w"]) == (None, "model", None)
+    assert spec(dl["gate_up_w"]) == (None, None, "model")
+    assert spec(dl["down_w"]) == (None, "model", None)
+    assert spec(dl["ln1_scale"]) == ()  # replicated
+    assert spec(tp["decoder"]["embed"]) == ()  # replicated (skip-list trio)
+    el = tp["encoder"]["layers"]
+    assert spec(el["q_w"]) == (None, None, "model")
+    assert spec(el["o_w"]) == (None, "model", None)
+    assert spec(el["fc2_w"]) == (None, "model", None)
+    assert spec(tp["adapter"]["fc1"]["w"]) == (None, "model")
+    assert spec(tp["adapter"]["fc2"]["w"]) == ("model", None)
+    # every leaf placed on all 8 devices (replicated over "data")
+    for leaf in jax.tree.leaves(tp):
+        assert len(leaf.sharding.device_set) == 8
+
+    # int8 QTensors: "q" shards like the wrapped weight; per-output "scale"
+    # shards only under output-parallel specs (contracted axis is 1)
+    from sonicscribe_tpu.ops.quant import quantize_params_int8
+
+    tq = shard_params_tp(quantize_params_int8(params), mesh)
+    dq = tq["decoder"]["layers"]
+    assert spec(dq["qkv_w"]["q"]) == (None, None, "model")
+    assert spec(dq["qkv_w"]["scale"]) == (None, None, "model")
+    assert spec(dq["down_w"]["q"]) == (None, "model", None)
+    assert spec(dq["down_w"]["scale"]) == ()  # axis of size 1 -> replicated
+
+
+def test_batched_engine_tensor_parallel_token_parity(devices_ok, stack):
+    """BatchedEngine on a dp x tp mesh (4 x 2): weight matrices sharded over
+    'model' (Megatron column/row pairs), slot state sharded over 'data' —
+    GSPMD inserts the psums; tokens must match the single-device engine
+    exactly (f32: the tp=2 contraction split does not move greedy argmax)."""
+    cfg, tr = stack
+    audios = [_audio(0.3 + 0.05 * i, f=200 + 70 * i, seed=i) for i in range(8)]
+    golden = [tr.transcribe(a, SR, max_new_tokens=8).tokens for a in audios]
+
+    mesh = make_mesh(8, model_parallel=2)
+
+    async def go():
+        eng = BatchedEngine(tr, EnergyVad(), slots=8, max_decode_tokens=32, mesh=mesh)
+        assert eng.data_parallel == 4
+        # params actually sharded over "model"
+        qkv = eng.transcriber.params["decoder"]["layers"]["qkv_w"]
+        assert tuple(qkv.sharding.spec) == (None, None, "model")
+        try:
+            results = await asyncio.gather(
+                *[eng.transcribe(a, SR, max_new_tokens=8) for a in audios]
+            )
+            return [r.tokens for r in results]
+        finally:
+            eng.shutdown()
+
+    got = _run(go())
     for i, (g, w) in enumerate(zip(got, golden)):
         np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
 

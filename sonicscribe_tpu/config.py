@@ -119,6 +119,12 @@ class AppConfig:
         default_factory=lambda: _env_bool("SPECULATIVE_INTERIMS", False)
     )
     decode_slots: int = field(default_factory=lambda: int(_env("DECODE_SLOTS", "32")))
+    # converted Silero weights (.npz from tools/convert_silero.py); when set,
+    # `--vad silero` serves these — without them the random-init net is
+    # REFUSED (it would gate garbage) and serving falls back to the DSP gate
+    silero_weights: str = field(
+        default_factory=lambda: _env("SONIC_SILERO_WEIGHTS", "")
+    )
     # mel-frame bucket sizes for prefill (static shapes for XLA)
     prefill_buckets: List[int] = field(
         default_factory=lambda: [128, 256, 512, 1024, 2048, 3072]

@@ -556,10 +556,31 @@ def build_runtime(
         )
 
     transcriber = Transcriber(mcfg, params, tokenizer, prefill_buckets=buckets)
+    vad_served = vad_spec  # what actually serves (silero may fall back)
     if vad_spec == "energy":
         vad = EnergyVad()
     elif vad_spec == "silero":
-        vad = SileroVad()  # random-init (no checkpoint in this environment)
+        # A RANDOM-INIT Silero net would gate garbage: its speech
+        # probabilities are noise, so segments never open/close sensibly.
+        # The reference always serves real Silero weights
+        # (ref backend/vad.py:13); refuse to serve the random net and fall
+        # back LOUDLY to the DSP gate. Converted real weights
+        # (tools/convert_silero.py) are served by passing their path.
+        w = config.silero_weights
+        if w and os.path.exists(w):
+            from sonicscribe_tpu.tools.convert_silero import load_npz
+
+            vad = SileroVad(params=load_npz(w))
+        else:
+            logger.error(
+                "--vad silero without converted weights would serve a "
+                "RANDOM-INIT net (garbage gating); falling back to the "
+                "energy VAD. Convert real Silero weights with "
+                "tools/convert_silero.py and pass their path as --vad "
+                "or set SONIC_SILERO_WEIGHTS."
+            )
+            vad = EnergyVad()
+            vad_served = "energy (silero weights missing)"
     else:  # a converted silero weights file (tools/convert_silero.py)
         from sonicscribe_tpu.tools.convert_silero import load_npz
 
@@ -595,7 +616,7 @@ def build_runtime(
         "model": model_spec,
         "params": param_count(params),
         "quant_mode": config.quant_mode,
-        "vad": vad_spec,
+        "vad": vad_served,
         "engine": engine_kind,
         "decode_slots": config.decode_slots if engine_kind == "batched" else 1,
         "data_parallel": dp,
@@ -616,8 +637,9 @@ def main(argv=None):
                              "tiny-random — reference backend/config.py:13)")
     parser.add_argument(
         "--vad", default="energy",
-        help="'energy' | 'silero' (random-init) | path to converted Silero "
-             "weights (.npz from tools/convert_silero.py)",
+        help="'energy' | 'silero' (serves SONIC_SILERO_WEIGHTS; refuses a "
+             "random-init net and falls back to energy) | path to converted "
+             "Silero weights (.npz from tools/convert_silero.py)",
     )
     parser.add_argument(
         "--engine", default="batched", choices=("batched", "threaded"),

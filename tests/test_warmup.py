@@ -178,3 +178,37 @@ def test_fast_warmup_background_replay_drains_when_idle(stack):
         )
     finally:
         eng.shutdown()
+
+
+def test_fast_warmup_queues_noncritical_replays_in_prio_order(stack):
+    """r4 fast boot: EVERY non-critical compiled program's replay
+    (server-side link + first run) queues instead of blocking ready —
+    only VAD/scatter + the e2e exercise run inline (the r3 inline set was
+    the whole 95.6 s restart tail, WARMUP_BENCH). drain_replays() brings
+    the engine to steady state synchronously, and token parity holds
+    before AND after the drain."""
+    cfg, tr = stack
+    golden = tr.transcribe(_audio(), SR, max_new_tokens=8).tokens
+
+    eng = BatchedEngine(tr, EnergyVad(), slots=8, max_decode_tokens=16)
+    try:
+        eng.warmup(fast=True)
+        # the interim hot path (short-pool smallest ring prefill) must be
+        # at the FRONT of the queue: it is what the first 64 ms-chunk
+        # session dispatches
+        assert len(eng._replay_queue) >= 4
+
+        async def go():
+            return await eng.transcribe(_audio(), SR, max_new_tokens=8)
+
+        loop = asyncio.new_event_loop()
+        r_before = loop.run_until_complete(go())
+        np.testing.assert_array_equal(r_before.tokens, golden)
+        eng.warmup_join()
+        eng.drain_replays()
+        assert not eng._replay_queue
+        r_after = loop.run_until_complete(go())
+        loop.close()
+        np.testing.assert_array_equal(r_after.tokens, golden)
+    finally:
+        eng.shutdown()

@@ -224,6 +224,239 @@ TRANSPOSED_SUFFIXES = (
     "qkv_w", "gate_up_w", "down_w", "fc1/w", "fc2/w",
 )
 
+# HF tensors that are EXPECTED to have no native mapping: derived buffers
+# (rotary tables, position ids), Whisper-style stored sinusoids (we compute
+# them), and lm_head when embeddings are tied. Anything else unconsumed is
+# reported loudly by convert_hf_checkpoint.
+IGNORABLE_HF_PATTERNS = (
+    ".rotary_emb.", ".inv_freq", "position_ids", "embed_positions",
+    "masked_spec_embed",
+)
+
+
+def expected_shapes(cfg: GlmAsrConfig) -> dict[str, tuple[int, ...]]:
+    """Flat native-key -> shape table (mirrors models/glm_asr.init_params
+    without materializing weights) so the converter can validate every
+    mapped tensor's post-transform shape and break LOUDLY on a layout or
+    name-mapping mistake (VERDICT r4 readiness: the real checkpoint's
+    module names/dims may differ from the recovered architecture)."""
+    enc, dec = cfg.encoder, cfg.decoder
+    d, dd = enc.d_model, dec.d_model
+    qkv_out = (dec.n_heads + 2 * dec.n_kv_heads) * dec.head_dim
+    shapes: dict[str, tuple[int, ...]] = {
+        "encoder/conv1/w": (3, enc.n_mels, d),
+        "encoder/conv1/b": (d,),
+        "encoder/conv2/w": (3, d, d),
+        "encoder/conv2/b": (d,),
+        "encoder/layers/ln1_scale": (enc.n_layers, d),
+        "encoder/layers/ln1_bias": (enc.n_layers, d),
+        "encoder/layers/q_w": (enc.n_layers, d, d),
+        "encoder/layers/q_b": (enc.n_layers, d),
+        "encoder/layers/k_w": (enc.n_layers, d, d),
+        "encoder/layers/v_w": (enc.n_layers, d, d),
+        "encoder/layers/v_b": (enc.n_layers, d),
+        "encoder/layers/o_w": (enc.n_layers, d, d),
+        "encoder/layers/o_b": (enc.n_layers, d),
+        "encoder/layers/ln2_scale": (enc.n_layers, d),
+        "encoder/layers/ln2_bias": (enc.n_layers, d),
+        "encoder/layers/fc1_w": (enc.n_layers, d, enc.ffn_mult * d),
+        "encoder/layers/fc1_b": (enc.n_layers, enc.ffn_mult * d),
+        "encoder/layers/fc2_w": (enc.n_layers, enc.ffn_mult * d, d),
+        "encoder/layers/fc2_b": (enc.n_layers, d),
+        "encoder/ln_post_scale": (d,),
+        "encoder/ln_post_bias": (d,),
+        "adapter/fc1/w": (cfg.adapter_stack * d, cfg.adapter_hidden),
+        "adapter/fc1/b": (cfg.adapter_hidden,),
+        "adapter/fc2/w": (cfg.adapter_hidden, dd),
+        "adapter/fc2/b": (dd,),
+        "decoder/embed": (dec.vocab_size, dd),
+        "decoder/layers/ln1_scale": (dec.n_layers, dd),
+        "decoder/layers/qkv_w": (dec.n_layers, dd, qkv_out),
+        "decoder/layers/qkv_b": (dec.n_layers, qkv_out),
+        "decoder/layers/o_w": (dec.n_layers, dec.n_heads * dec.head_dim, dd),
+        "decoder/layers/ln2_scale": (dec.n_layers, dd),
+        "decoder/layers/gate_up_w": (dec.n_layers, dd, 2 * dec.ffn_hidden),
+        "decoder/layers/down_w": (dec.n_layers, dec.ffn_hidden, dd),
+        "decoder/ln_f_scale": (dd,),
+    }
+    if not dec.tie_embeddings:
+        shapes["decoder/lm_head"] = (dd, dec.vocab_size)
+    return shapes
+
+
+def _first(d: dict, *keys, default=None):
+    for k in keys:
+        if k in d and d[k] is not None:
+            return d[k]
+    return default
+
+
+def cfg_from_hf_config(src: str) -> GlmAsrConfig:
+    """Derive GlmAsrConfig from an HF checkpoint directory's config.json
+    (+ generation_config.json special-token ids, + weight shapes for the
+    adapter dims). Mirrors the layout the reference's trust_remote_code
+    model publishes (ref backend/asr.py:66-82): nested `audio_config` /
+    `text_config` (Whisper-style encoder keys, GLM-style decoder keys),
+    with tolerant flat-key fallbacks. Raises with the full missing-field
+    list — day-one conversion against the real checkpoint must fail
+    loudly, never guess silently."""
+    cfg_path = os.path.join(src, "config.json")
+    if not os.path.exists(cfg_path):
+        raise FileNotFoundError(
+            f"no config.json in '{src}' — pass an explicit GlmAsrConfig "
+            f"(--preset) or point at a complete HF checkpoint dir"
+        )
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    audio = hf.get("audio_config") or hf.get("audio_encoder_config") or hf
+    text = hf.get("text_config") or hf.get("llm_config") or hf
+
+    missing: list[str] = []
+
+    def need(d: dict, *keys, scope: str):
+        v = _first(d, *keys)
+        if v is None:
+            missing.append(f"{scope}: one of {keys}")
+        return v
+
+    enc_kw = dict(
+        n_mels=need(audio, "num_mel_bins", "n_mels", scope="audio"),
+        d_model=need(audio, "d_model", "hidden_size", scope="audio"),
+        n_heads=need(audio, "encoder_attention_heads", "num_attention_heads",
+                     "n_heads", scope="audio"),
+        n_layers=need(audio, "encoder_layers", "num_hidden_layers",
+                      "n_layers", scope="audio"),
+    )
+    max_src = _first(audio, "max_source_positions")
+    dec_kw = dict(
+        vocab_size=need(text, "vocab_size", scope="text"),
+        d_model=need(text, "hidden_size", "d_model", scope="text"),
+        n_layers=need(text, "num_hidden_layers", "n_layers", scope="text"),
+        n_heads=need(text, "num_attention_heads", "n_heads", scope="text"),
+        n_kv_heads=need(text, "num_key_value_heads", "n_kv_heads",
+                        scope="text"),
+        head_dim=_first(text, "head_dim"),
+        ffn_hidden=need(text, "intermediate_size", "ffn_hidden", scope="text"),
+    )
+    if missing:
+        raise ValueError(
+            "config.json is missing required architecture fields:\n  - "
+            + "\n  - ".join(missing)
+            + f"\n(top-level keys present: {sorted(hf)[:20]})"
+        )
+    if dec_kw["head_dim"] is None:
+        dec_kw["head_dim"] = dec_kw["d_model"] // dec_kw["n_heads"]
+    if max_src is not None:
+        # HF Whisper stores post-conv positions; our max_frames is pre-conv
+        enc_kw["max_frames"] = int(max_src) * 2
+    ffn_mult = _first(audio, "encoder_ffn_dim")
+    if ffn_mult is not None:
+        enc_kw["ffn_mult"] = int(ffn_mult) // int(enc_kw["d_model"])
+
+    dec = DecoderConfig(
+        **{k: int(v) for k, v in dec_kw.items()},
+        rope_theta=float(_first(text, "rope_theta", default=10000.0)),
+        partial_rotary_factor=float(
+            _first(text, "partial_rotary_factor", default=0.5)
+        ),
+        rms_eps=float(_first(text, "rms_norm_eps", default=1e-5)),
+        qkv_bias=bool(_first(text, "attention_bias", "qkv_bias", default=True)),
+        tie_embeddings=bool(
+            _first(text, "tie_word_embeddings", default=hf.get(
+                "tie_word_embeddings", True))
+        ),
+    )
+    enc = AudioEncoderConfig(**{k: int(v) for k, v in enc_kw.items()})
+
+    # adapter dims are not in config.json conventions — read them off the
+    # audio_proj weights themselves (shape [hidden, stack*d] in HF layout)
+    adapter_stack, adapter_hidden = 4, 4096
+    try:
+        sd_shapes = _peek_hf_shapes(src, ("audio_proj.linear_1.weight",))
+        w = sd_shapes.get("audio_proj.linear_1.weight")
+        if w is None:
+            # weights ARE present but the adapter tensor isn't: naming
+            # drift in the real checkpoint — never default silently
+            raise ValueError(
+                "weights present but 'audio_proj.linear_1.weight' not "
+                "found — adapter naming drift vs the reference's "
+                "audio_proj module (ref backend/asr.py:169-210); extend "
+                "HF_NAME_MAP/cfg_from_hf_config"
+            )
+        adapter_hidden = int(w[0])
+        if int(w[1]) % enc.d_model:
+            raise ValueError(
+                f"audio_proj.linear_1.weight in-dim {w[1]} is not a "
+                f"multiple of encoder d_model {enc.d_model} — the "
+                f"adapter is not frame-stacking; extend the model"
+            )
+        adapter_stack = int(w[1]) // enc.d_model
+    except FileNotFoundError:
+        pass  # config-only derivation (no weights present)
+
+    specials: dict[str, int] = {}
+    gen_path = os.path.join(src, "generation_config.json")
+    if os.path.exists(gen_path):
+        with open(gen_path) as f:
+            gen = json.load(f)
+        for ours, theirs in (("eos_id", "eos_token_id"),
+                             ("pad_id", "pad_token_id"),
+                             ("bos_id", "bos_token_id")):
+            v = gen.get(theirs)
+            if isinstance(v, list):
+                v = v[0]
+            if v is not None:
+                specials[ours] = int(v)
+    for ours, theirs in (
+        ("audio_start_id", "audio_start_token_id"),
+        ("audio_end_id", "audio_end_token_id"),
+        ("user_id", "user_token_id"),
+        ("assistant_id", "assistant_token_id"),
+        ("eos_id", "eos_token_id"),
+        ("pad_id", "pad_token_id"),
+        ("bos_id", "bos_token_id"),
+    ):
+        v = hf.get(theirs)
+        if v is not None and ours not in specials:
+            specials[ours] = int(v)
+
+    return GlmAsrConfig(
+        encoder=enc, decoder=dec,
+        adapter_stack=adapter_stack, adapter_hidden=adapter_hidden,
+        **specials,
+    )
+
+
+def _peek_hf_shapes(
+    src: str, names: tuple[str, ...]
+) -> dict[str, tuple[int, ...]]:
+    """Read just the shapes of `names` from the checkpoint's weight files
+    (safetensors header only — no tensor data loaded)."""
+    out: dict[str, tuple[int, ...]] = {}
+    st_files = sorted(f for f in os.listdir(src) if f.endswith(".safetensors"))
+    if st_files:
+        from safetensors import safe_open  # type: ignore
+
+        for f in st_files:
+            with safe_open(os.path.join(src, f), framework="numpy") as sf:
+                for n in names:
+                    if n in sf.keys():
+                        out[n] = tuple(sf.get_slice(n).get_shape())
+        return out
+    bin_files = sorted(f for f in os.listdir(src) if f.endswith(".bin"))
+    if bin_files:
+        import torch
+
+        for f in bin_files:
+            sd = torch.load(
+                os.path.join(src, f), map_location="cpu", weights_only=True
+            )
+            for n in names:
+                if n in sd:
+                    out[n] = tuple(sd[n].shape)
+        return out
+    raise FileNotFoundError(f"no safetensors/bin weights in '{src}'")
+
 
 def _load_hf_state_dict(src: str) -> dict[str, np.ndarray]:
     """Load all tensors from an HF checkpoint dir (safetensors or torch)."""
@@ -252,17 +485,61 @@ def _load_hf_state_dict(src: str) -> dict[str, np.ndarray]:
 def convert_hf_checkpoint(
     src: str,
     dst: str,
-    cfg: GlmAsrConfig,
+    cfg: GlmAsrConfig | None = None,
     name_map: dict[str, str] | None = None,
     int8: bool = False,
     progress: Callable[[str], None] = print,
-) -> None:
-    """Convert an HF GLM-ASR checkpoint into the native format."""
+) -> GlmAsrConfig:
+    """Convert an HF GLM-ASR checkpoint into the native format.
+
+    With cfg=None (the day-one path against the real checkpoint) the
+    architecture is derived from the checkpoint's own config.json
+    (`cfg_from_hf_config`); an explicit cfg is CROSS-VALIDATED against
+    config.json when one exists. Every mapped tensor's shape is validated
+    against the model's expected-shape table, and HF tensors the map never
+    consumed are reported — name-mapping drift against the real checkpoint
+    breaks loudly, not silently (ref backend/asr.py:66-82)."""
     import jax.numpy as jnp
+
+    derived: GlmAsrConfig | None = None
+    if os.path.exists(os.path.join(src, "config.json")):
+        try:
+            derived = cfg_from_hf_config(src)
+        except (ValueError, FileNotFoundError) as e:
+            if cfg is None:
+                raise
+            progress(f"note: config.json not derivable ({e}); using given cfg")
+    if cfg is None:
+        if derived is None:
+            raise FileNotFoundError(
+                f"no derivable config.json in '{src}' and no explicit cfg"
+            )
+        cfg = derived
+    elif derived is not None and derived != cfg:
+        diffs = []
+        for scope, a, b in (
+            ("encoder", cfg.encoder, derived.encoder),
+            ("decoder", cfg.decoder, derived.decoder),
+        ):
+            for f in dataclasses.fields(a):
+                va, vb = getattr(a, f.name), getattr(b, f.name)
+                if va != vb:
+                    diffs.append(f"{scope}.{f.name}: given={va} config.json={vb}")
+        for f in ("adapter_stack", "adapter_hidden", "pad_id", "bos_id",
+                  "eos_id", "audio_start_id", "audio_end_id", "user_id",
+                  "assistant_id"):
+            va, vb = getattr(cfg, f), getattr(derived, f)
+            if va != vb:
+                diffs.append(f"{f}: given={va} config.json={vb}")
+        raise ValueError(
+            "explicit cfg disagrees with the checkpoint's config.json:\n  - "
+            + "\n  - ".join(diffs)
+        )
 
     sd = _load_hf_state_dict(src)
     name_map = name_map or HF_NAME_MAP
     flat: dict[str, np.ndarray] = {}
+    consumed: set[str] = set()
 
     def fetch(hf_name: str) -> np.ndarray:
         if hf_name not in sd:
@@ -270,6 +547,7 @@ def convert_hf_checkpoint(
                 f"HF tensor '{hf_name}' not found; adjust HF_NAME_MAP "
                 f"(available sample: {list(sd)[:8]})"
             )
+        consumed.add(hf_name)
         return np.asarray(sd[hf_name])
 
     for ours, theirs in name_map.items():
@@ -292,6 +570,34 @@ def convert_hf_checkpoint(
             if ours.startswith("encoder/conv"):  # HF conv1d: [out, in, k] -> [k, in, out]
                 v = np.transpose(v, (2, 1, 0)) if v.ndim == 3 else v
             flat[ours] = v
+
+    # LOUD validation: every mapped tensor's post-transform shape must match
+    # the model's expected-shape table; collect ALL mismatches in one report
+    want = expected_shapes(cfg)
+    shape_errors = [
+        f"{k}: converted {tuple(flat[k].shape)} != expected {want[k]}"
+        for k in flat
+        if k in want and tuple(flat[k].shape) != want[k]
+    ]
+    shape_errors += [f"{k}: missing from conversion" for k in want if k not in flat]
+    if shape_errors:
+        raise ValueError(
+            "converted tensors do not match the model's expected shapes "
+            "(name-mapping or layout drift vs the real checkpoint):\n  - "
+            + "\n  - ".join(shape_errors)
+        )
+    leftovers = [
+        n for n in sd
+        if n not in consumed
+        and not any(p in n for p in IGNORABLE_HF_PATTERNS)
+        and not (cfg.decoder.tie_embeddings and n == "lm_head.weight")
+    ]
+    if leftovers:
+        progress(
+            f"WARNING: {len(leftovers)} HF tensors were NOT consumed by "
+            f"HF_NAME_MAP (first 12): {leftovers[:12]} — extend the map if "
+            f"these carry weights the model needs"
+        )
 
     params = _unflatten({k: jnp.asarray(v, jnp.bfloat16) for k, v in flat.items()})
     if int8:
@@ -321,19 +627,27 @@ def convert_hf_checkpoint(
         f"converted {len(flat)} tensors -> {dst}"
         + (f" (+ tokenizer: {len(tok_files)} files)" if tok_files else "")
     )
+    return cfg
 
 
 def main(argv=None):
     import argparse
 
-    from sonicscribe_tpu.models.config import nano
+    from sonicscribe_tpu.models.config import nano, tiny
 
     ap = argparse.ArgumentParser()
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument(
+        "--preset", choices=("derive", "nano", "tiny"), default="derive",
+        help="'derive' (default) reads the architecture from the "
+             "checkpoint's config.json and fails loudly if it can't; "
+             "nano/tiny force a preset (cross-validated vs config.json)",
+    )
     args = ap.parse_args(argv)
-    convert_hf_checkpoint(args.src, args.dst, nano(), int8=args.int8)
+    cfg = {"derive": None, "nano": nano(), "tiny": tiny()}[args.preset]
+    convert_hf_checkpoint(args.src, args.dst, cfg, int8=args.int8)
 
 
 if __name__ == "__main__":

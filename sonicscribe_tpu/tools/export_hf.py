@@ -65,8 +65,52 @@ def export_hf_checkpoint(
             out[theirs] = np.ascontiguousarray(v)
     os.makedirs(dst, exist_ok=True)
     save_file(out, os.path.join(dst, "model.safetensors"))
+    # mirror the real GLM-ASR checkpoint's config layout (nested Whisper-
+    # style audio_config + GLM-style text_config, special-token ids, and a
+    # generation_config.json) so convert_weights.cfg_from_hf_config — the
+    # day-one derivation path against the real checkpoint — is exercised by
+    # every synthetic-fixture test (VERDICT r4 readiness item)
     with open(os.path.join(dst, "config.json"), "w") as f:
-        json.dump({"model_type": "glm-asr", "exported_by": "sonicscribe_tpu"}, f)
+        json.dump(
+            {
+                "model_type": "glm-asr",
+                "exported_by": "sonicscribe_tpu",
+                "audio_config": {
+                    "num_mel_bins": cfg.encoder.n_mels,
+                    "d_model": cfg.encoder.d_model,
+                    "encoder_attention_heads": cfg.encoder.n_heads,
+                    "encoder_layers": cfg.encoder.n_layers,
+                    "encoder_ffn_dim": cfg.encoder.ffn_mult * cfg.encoder.d_model,
+                    "max_source_positions": cfg.encoder.max_frames // 2,
+                },
+                "text_config": {
+                    "vocab_size": cfg.decoder.vocab_size,
+                    "hidden_size": cfg.decoder.d_model,
+                    "num_hidden_layers": cfg.decoder.n_layers,
+                    "num_attention_heads": cfg.decoder.n_heads,
+                    "num_key_value_heads": cfg.decoder.n_kv_heads,
+                    "head_dim": cfg.decoder.head_dim,
+                    "intermediate_size": cfg.decoder.ffn_hidden,
+                    "rope_theta": cfg.decoder.rope_theta,
+                    "partial_rotary_factor": cfg.decoder.partial_rotary_factor,
+                    "rms_norm_eps": cfg.decoder.rms_eps,
+                    "attention_bias": cfg.decoder.qkv_bias,
+                    "tie_word_embeddings": cfg.decoder.tie_embeddings,
+                },
+                "audio_start_token_id": cfg.audio_start_id,
+                "audio_end_token_id": cfg.audio_end_id,
+                "user_token_id": cfg.user_id,
+                "assistant_token_id": cfg.assistant_id,
+            },
+            f,
+            indent=2,
+        )
+    with open(os.path.join(dst, "generation_config.json"), "w") as f:
+        json.dump(
+            {"eos_token_id": cfg.eos_id, "pad_token_id": cfg.pad_id,
+             "bos_token_id": cfg.bos_id, "do_sample": False},
+            f,
+        )
 
 
 def make_test_tokenizer(dst: str, vocab_size: int, cfg: GlmAsrConfig) -> None:

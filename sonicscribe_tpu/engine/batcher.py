@@ -951,22 +951,16 @@ class BatchedEngine:
         # wave decays it under budget in ~1 s) rather than thrash during the
         # measurement transient — at 100 streams the open-gate transient
         # alone cost ~37 ms of interim p50 (SCALE_BENCH re-record).
+        # (r4 simplification: a 2.5-5 s PEAK-HOLD memory used to back this
+        # EMA up on periodic workloads where it decayed between congestion
+        # waves — but every measured failure it guarded (the 100-stream
+        # reopen-every-cycle thrash, 11 s interim p95) happened with live
+        # streams outnumbering long slots, which the structural rule in
+        # eager_ok now denies outright. One signal per failure mode:
+        # EMA = sub-structural congestion, structural rule = oversubscribed
+        # pool. docs/ENGINE.md "Eager-finals launch gate" has the invariant.)
         self.eager_queue_budget_ms = 75.0
         self.short_queue_ema = 2.0 * self.eager_queue_budget_ms
-        # PEAK-HOLD congestion memory (two rotating half-windows): on a
-        # periodic workload the EMA decays below budget between congestion
-        # waves — measured at 100 streams the gate reopened every ~3.5 s
-        # cycle exactly at the synchronized silent window, launched ~100
-        # bets, and the wave's thrash re-spiked the queue it had just been
-        # measured clear of (same-process A/B: interim p95 0.44 s eager-off
-        # vs 11 s eager-on WITH the EMA gate). The gate therefore also holds
-        # the MAX queue wait seen in the last 2.5-5 s: any recent congestion
-        # anywhere in the cycle keeps speculation shut. Boots pessimistic
-        # like the EMA.
-        self._queue_peak_win_s = 2.5
-        self._queue_peak_cur = 2.0 * self.eager_queue_budget_ms
-        self._queue_peak_prev = 2.0 * self.eager_queue_budget_ms
-        self._queue_peak_t = time.perf_counter()
         self._warmed = False  # set by warmup(); gates compiled-grid-only dispatch
         # watchdog: a scheduler tick blocked longer than this dumps all
         # thread stacks to the log (diagnosis only; the tick keeps running)
@@ -2142,41 +2136,23 @@ class BatchedEngine:
 
     def _note_short_queue(self, q_ms: float) -> None:
         """Fold one reaped interim's admission wait into the congestion
-        signals read by eager_ok: a smoothed EMA and a 2x2.5 s peak-hold
-        (see the __init__ field comment for why both exist)."""
+        EMA read by eager_ok (see the __init__ field comment)."""
         self.short_queue_ema = 0.9 * self.short_queue_ema + 0.1 * q_ms
-        self._rotate_queue_peak()
-        self._queue_peak_cur = max(self._queue_peak_cur, q_ms)
-
-    def _rotate_queue_peak(self) -> None:
-        now = time.perf_counter()
-        if now - self._queue_peak_t >= self._queue_peak_win_s:
-            self._queue_peak_prev = (
-                0.0
-                if now - self._queue_peak_t >= 2 * self._queue_peak_win_s
-                else self._queue_peak_cur
-            )
-            self._queue_peak_cur = 0.0
-            self._queue_peak_t = now
-
-    def _short_queue_peak_ms(self) -> float:
-        self._rotate_queue_peak()
-        return max(self._queue_peak_cur, self._queue_peak_prev)
 
     def eager_ok(self) -> bool:
         """Launch gate for sessions' eager (speculative-endpoint) finals
         (serve/session.py _start_eager). Conditions:
 
-        - capacity: the long pool must have slack, so discarded speculation
-          never displaces confirmed finals or file segments — instantaneous
-          free-slot fraction, an empty final-class backlog (a bet that must
-          WAIT for a slot has no latency advantage and clogs admission), and
-          a cap on concurrent speculative slots (half the pool);
-        - congestion: no recent interim admission queueing — the smoothed
-          EMA *and* a peak-hold over the last 2.5-5 s (the EMA alone decays
-          between a periodic workload's congestion waves and reopened the
-          gate exactly at each synchronized silent window, SCALE_BENCH
-          100-stream A/B);
+        - capacity (structural): the long pool must have slack, so
+          discarded speculation never displaces confirmed finals or file
+          segments — instantaneous free-slot fraction, live streams must
+          not outnumber long slots (a synchronized final wave would
+          oversubscribe the pool even without bets — the 100-stream
+          regression class), an empty final-class backlog (a bet that must
+          WAIT for a slot has no latency advantage and clogs admission),
+          and a cap on concurrent speculative slots (half the pool);
+        - congestion (measured): no recent interim admission queueing —
+          smoothed EMA of per-reap admission wait vs budget;
         - measured confirmation rate: sessions report each bet's outcome
           (eager_outcome), and below the floor the gate closes except for
           every 8th candidate, which launches as a measurement probe — on a
@@ -2207,15 +2183,11 @@ class BatchedEngine:
         )
         if n_spec >= max(1, len(self.long.slots) // 2):
             return False
-        if (
-            max(self.short_queue_ema, self._short_queue_peak_ms())
-            > self.eager_queue_budget_ms
-        ):
-            # no slack: interims queued for admission within the last few
-            # seconds — speculation would compound the congestion
-            # (SCALE_BENCH 100-stream regression). Self-regulating: closed
-            # launches let the queue drain, the signals decay/rotate clear,
-            # the gate reopens.
+        if self.short_queue_ema > self.eager_queue_budget_ms:
+            # no slack: interims recently queued for admission — speculation
+            # would compound the congestion (SCALE_BENCH 100-stream
+            # regression). Self-regulating: closed launches let the queue
+            # drain, the EMA decays clear, the gate reopens.
             return False
         self._fold_eager_outcomes()
         if self.eager_accept_ema >= self.eager_accept_min:

@@ -158,6 +158,7 @@ export class FileAnalyzer {
       const xhr = new XMLHttpRequest();
       xhr.open("POST", "/transcribe/file?stream=true");
       xhr.timeout = 5 * 60 * 1000;
+      const uploadStart = performance.now();
       let seen = 0;
       let partial = "";
       const drain = (final) => {
@@ -173,7 +174,12 @@ export class FileAnalyzer {
       };
       xhr.upload.onprogress = (e) => {
         if (e.lengthComputable) {
-          this.el.progress.style.width = `${Math.round((e.loaded / e.total) * 50)}%`;
+          const pct = Math.round((e.loaded / e.total) * 100);
+          this.el.progress.style.width = `${Math.round(pct / 2)}%`;
+          const speed = FileAnalyzer.uploadSpeed(
+            e.loaded, performance.now() - uploadStart
+          );
+          this.status(`uploading… ${pct}%${speed ? ` · ${speed}` : ""}`);
         }
       };
       xhr.upload.onload = () => {
@@ -197,6 +203,17 @@ export class FileAnalyzer {
       xhr.send(form);
     });
     this.el.btn.disabled = false;
+  }
+
+  // Live upload-rate readout shown next to the percentage while the request
+  // body is in flight (parity: reference FileAnalyzer.js:973-979). Returns
+  // "" during the first 100 ms where the rate estimate is meaningless.
+  static uploadSpeed(bytes, durationMs) {
+    if (durationMs < 100) return "";
+    const bps = bytes / (durationMs / 1000);
+    if (bps > 1024 * 1024) return `${(bps / (1024 * 1024)).toFixed(1)} MB/s`;
+    if (bps > 1024) return `${(bps / 1024).toFixed(1)} KB/s`;
+    return `${bps.toFixed(0)} B/s`;
   }
 
   onMessage(msg) {

@@ -1221,6 +1221,20 @@ class BatchedEngine:
         if idx is not None and idx not in self._free_streams:
             self._free_streams.append(idx)
 
+    def interim_stagger(self, stream_idx: Optional[int]) -> float:
+        """Per-stream interim-cadence phase offset in seconds, consumed by
+        serve/session at each speech start. Lockstep cohorts (sessions whose
+        utterances start together) otherwise admit every interim wave as ONE
+        burst that oversubscribes the short pool (SCALE_BENCH 100-stream p50
+        floated 265-334 ms); spreading the cohort over eight 125 ms phases
+        within the same >= 1 s cadence de-synchronizes the waves. Returns
+        0.0 — no UX cost — unless live streams could fill half the short
+        pool in one wave."""
+        live = self.N_STREAMS - len(self._free_streams)
+        if stream_idx is None or live * 2 < len(self.short.slots):
+            return 0.0
+        return (stream_idx % 8) / 8.0
+
     def ingest(self, stream_idx: int, chunk_id: int, pcm: bytes) -> None:
         """Queue one 64 ms int16 chunk for the next packed upload. Sync, no
         device interaction — the scheduler ships ALL sessions' chunks in one
@@ -2456,13 +2470,20 @@ class BatchedEngine:
         ]
         t_vad = time.perf_counter()
 
-        # 2) admits from the backlogs, routed per pool (dispatch only). If a
-        # pool is starved while its class has a burst waiting, resolve the
-        # previous tick NOW (one early RTT) to free its finished slots.
+        # 2) short-class admits FIRST (dispatch only). If a pool is starved
+        # while its class has a burst waiting, resolve the previous tick NOW
+        # (one early RTT) to free its finished slots. Long-class admits are
+        # deferred until AFTER the short decode dispatch (step 3) so every
+        # program the interim class needs this tick enters the device queue
+        # ahead of a concurrent file job's prefill — under mixed load the
+        # long prefills dispatched here used to run before the interim wave
+        # on the serial device queue every tick (MIXED_BENCH r4 rationing).
+        # The fused-dual mode keeps the combined order: its single decode
+        # program needs both pools admitted first.
         if self._ring_backlog or self._host_backlog:
             if self._pending_results is not None and self._any_pool_starved():
                 self._resolve_pending()
-            self._admit_backlogs()
+            self._admit_backlogs(only=None if self.fuse_dual else self.short)
         else:
             # no waiting work: clear the stale routing flag so the long
             # pool's pending-cap exception (_pick_k) isn't suppressed by a
@@ -2470,15 +2491,25 @@ class BatchedEngine:
             self._backlog_has_short = False
         t_admit = time.perf_counter()
 
-        # 3) decode K steps per pool (dispatch only). If every active slot
-        # has provably exhausted its budget (the device is surely done),
-        # resolve FIRST — otherwise we'd dispatch a wasted k=1 program and
-        # delay every finish by one more tick.
+        # 3) decode K steps per pool (dispatch only), short pool first, with
+        # long admits between the two dispatches. If every active slot has
+        # provably exhausted its budget (the device is surely done), resolve
+        # FIRST — otherwise we'd dispatch a wasted k=1 program and delay
+        # every finish by one more tick.
         early = self._pending_results is not None and self._all_surely_done()
         if early:
             self._resolve_pending()
         t_early = time.perf_counter()
-        parked = self._dispatch_decode_all()
+        if self.fuse_dual:
+            parked = self._dispatch_decode_all()
+        else:
+            parked = []
+            if self.short.n_active > 0:
+                self._dispatch_decode_pool(self.short, parked)
+            if self._ring_backlog or self._host_backlog:
+                self._admit_backlogs(only=self.long)
+            if self.long.n_active > 0:
+                self._dispatch_decode_pool(self.long, parked)
         t_decode = time.perf_counter()
 
         # 4) resolve the PREVIOUS tick's results (fetch overlaps step-3 work:
@@ -2652,21 +2683,28 @@ class BatchedEngine:
                 return b
         return self.chunk_buckets[-1]
 
-    def _admit_backlogs(self) -> None:
+    def _admit_backlogs(self, only: "_CachePool | None" = None) -> None:
         """Route backlogged requests to their pools by cache need; admit what
         fits each pool's free slots, carry the overflow to the next tick.
-        Latency-priority: short-budget (interim) requests first. While the
-        short class is BUSY, long-pool admissions are PACED (a file job's
-        12-segment burst admitted in one tick costs ~300 ms of host prep +
-        prefill dispatch, which every interim behind it eats as queue wait —
-        the mixed-workload p95 tail, MIXED_BENCH); quiet phases admit
-        everything at once for throughput."""
-        free = {id(p): p.free for p in self.pools}
-        if not self._short_quiet():
+        Latency-priority: short-budget (interim) requests first — the tick
+        admits (and decodes) the short pool BEFORE any long-pool admission
+        via two `only=`-scoped calls. While the short class is BUSY,
+        long-pool admissions are additionally PACED (a file job's 12-segment
+        burst admitted in one tick costs ~300 ms of host prep + prefill
+        dispatch, which every interim behind it eats as queue wait — the
+        mixed-workload p95 tail, MIXED_BENCH); quiet phases admit everything
+        at once for throughput."""
+        scope = self.pools if only is None else (only,)
+        free = {id(p): p.free for p in scope}
+        if id(self.long) in free and not self._short_quiet():
             free[id(self.long)] = min(
                 free[id(self.long)], self.busy_long_admit_cap
             )
-        self._backlog_has_short = False
+        # the short-scoped (or unscoped) call owns the waiting-interim flag;
+        # the later long-scoped call must not clear what it just learned
+        track_short = only is None or only is self.short
+        if track_short:
+            self._backlog_has_short = False
         if self._ring_backlog:
             keep: list[_RingTranscribeReq] = []
             take: dict[int, list[_RingTranscribeReq]] = {}
@@ -2676,15 +2714,15 @@ class BatchedEngine:
                     cb * 1024 // 160, req.max_new_tokens,
                     self._req_suffix_bucket(req),
                 )
-                if free[id(pool)] > 0:
+                if free.get(id(pool), 0) > 0:
                     free[id(pool)] -= 1
                     take.setdefault(id(pool), []).append(req)
                 else:
                     keep.append(req)
-                    if pool is self.short:
+                    if track_short and pool is self.short:
                         self._backlog_has_short = True
             self._ring_backlog = keep
-            for pool in self.pools:
+            for pool in scope:
                 items = take.get(id(pool))
                 if items:
                     self._admit_ring_grouped(pool, items)
@@ -2703,15 +2741,15 @@ class BatchedEngine:
                         bucket, req.max_new_tokens,
                         self._req_suffix_bucket(req),
                     )
-                if free[id(pool)] > 0:
+                if free.get(id(pool), 0) > 0:
                     free[id(pool)] -= 1
                     take_h.setdefault(id(pool), []).append(req)
                 else:
                     keep_h.append(req)
-                    if pool is self.short:
+                    if track_short and pool is self.short:
                         self._backlog_has_short = True
             self._host_backlog = keep_h
-            for pool in self.pools:
+            for pool in scope:
                 items_h = take_h.get(id(pool))
                 if items_h:
                     self._admit_grouped(pool, items_h)
@@ -3151,30 +3189,36 @@ class BatchedEngine:
             self._park(self.long, status_b, k, parked)
             return parked
         for pool in active:
-            k = self._pick_k(pool)
-            rounds = self._pick_verify_rounds(pool, k)
-            if rounds is not None:
-                rows = self._pick_verify_rows(pool, rounds)
-                status = self._dispatch_verify(pool, rounds, rows=rows)
-                self.stats["verify_rounds"] = (
-                    self.stats.get("verify_rounds", 0) + rounds
-                )
-                for s in pool.slots:
-                    if s.active and s.drafted:
-                        s.spec_rounds -= rounds
-                        if s.spec_rounds <= 0:
-                            # best-case consumption would have spent the
-                            # draft by now; on rejection the device already
-                            # invalidated it. Either way further verify
-                            # rounds are 1-token rounds — go back to the
-                            # plain ladder without waiting for the (one
-                            # tick late) _SPEC_LIVE_FLAG status
-                            s.drafted = False
-                self._park(pool, status, rounds, parked)
-                continue
-            status = self._dispatch_decode(pool, k, rows=self._pick_rows(pool, k))
-            self._park(pool, status, k, parked)
+            self._dispatch_decode_pool(pool, parked)
         return parked
+
+    def _dispatch_decode_pool(self, pool: _CachePool, parked: list) -> None:
+        """Pick K and dispatch one pool's decode (or verify) program; parks
+        the handles. The tick calls this short-pool-first with long-pool
+        admissions in between (mixed-workload rationing)."""
+        k = self._pick_k(pool)
+        rounds = self._pick_verify_rounds(pool, k)
+        if rounds is not None:
+            rows = self._pick_verify_rows(pool, rounds)
+            status = self._dispatch_verify(pool, rounds, rows=rows)
+            self.stats["verify_rounds"] = (
+                self.stats.get("verify_rounds", 0) + rounds
+            )
+            for s in pool.slots:
+                if s.active and s.drafted:
+                    s.spec_rounds -= rounds
+                    if s.spec_rounds <= 0:
+                        # best-case consumption would have spent the
+                        # draft by now; on rejection the device already
+                        # invalidated it. Either way further verify
+                        # rounds are 1-token rounds — go back to the
+                        # plain ladder without waiting for the (one
+                        # tick late) _SPEC_LIVE_FLAG status
+                        s.drafted = False
+            self._park(pool, status, rounds, parked)
+            return
+        status = self._dispatch_decode(pool, k, rows=self._pick_rows(pool, k))
+        self._park(pool, status, k, parked)
 
     def _pick_verify_rounds(self, pool: _CachePool, k: int) -> int | None:
         """Use the speculative verify path when a DRAFTED slot is live in

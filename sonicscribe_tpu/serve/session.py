@@ -159,7 +159,12 @@ class StreamSession:
             self._saved_interim_text = ""
             self._last_interim_current = ""
             self._last_interim_start = None
-            self._last_interim_t = self.clock()
+            # re-anchor the interim cadence at speech start, plus a
+            # per-stream phase so lockstep cohorts (N sessions whose
+            # utterances start together) don't admit every interim wave as
+            # one burst — the engine returns 0 unless the cohort is big
+            # enough to oversubscribe the short pool (SCALE_BENCH r4)
+            self._last_interim_t = self.clock() + self._interim_stagger()
             self._draft_banked = []
             self._last_interim_tokens = None
         elif ev.state_changed and ev.speech_end_chunk is not None:
@@ -191,6 +196,12 @@ class StreamSession:
     # ------------------------------------------------------------------
     # interim ("tentative") path
     # ------------------------------------------------------------------
+
+    def _interim_stagger(self) -> float:
+        """Per-stream cadence phase from the engine (0.0 when absent or the
+        cohort is small) — de-synchronizes lockstep interim waves."""
+        st = getattr(self.engine, "interim_stagger", None)
+        return st(self.stream_idx) if st is not None else 0.0
 
     async def _maybe_interim(self) -> None:
         now = self.clock()

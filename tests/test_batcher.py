@@ -502,3 +502,55 @@ class TestShutdownCleanliness:
 
         outcome = _run(go())
         assert outcome in ("completed", "failed"), outcome
+
+
+class TestInterimStagger:
+    """Per-stream interim-cadence phases (SCALE_BENCH r4: lockstep cohorts
+    admitted every interim wave as one short-pool-oversubscribing burst)."""
+
+    def test_zero_for_small_cohorts_and_spread_for_big(self, stack):
+        _cfg, tr = stack
+        eng = BatchedEngine(
+            tr, EnergyVad(), slots=4, max_decode_tokens=32, n_streams=4
+        )
+        try:
+            a = eng.alloc_stream()
+            # one live stream on a 4-slot short pool: no stagger, no UX cost
+            assert eng.interim_stagger(a) == 0.0
+            assert eng.interim_stagger(None) == 0.0
+            claimed = [eng.alloc_stream() for _ in range(3)]
+            # cohort can fill half the short pool in one wave: phases spread
+            offs = {eng.interim_stagger(i) for i in [a, *claimed]}
+            assert len(offs) > 1
+            assert all(0.0 <= o < 1.0 for o in offs)
+            for i in [a, *claimed]:
+                eng.free_stream(i)
+        finally:
+            eng.shutdown()
+
+    def test_session_reanchors_cadence_with_stagger(self, stack):
+        """At speech start the session pushes its next interim out by the
+        engine's phase; a fake clock drives the cadence check directly."""
+        from sonicscribe_tpu.config import AppConfig
+        from sonicscribe_tpu.serve.session import StreamSession
+
+        class Eng:
+            has_ring = False
+
+            def interim_stagger(self, _idx):
+                return 0.5
+
+        sent = []
+
+        async def send(msg):
+            sent.append(msg)
+
+        t = [100.0]
+        s = StreamSession("c1", AppConfig(), Eng(), send, clock=lambda: t[0])
+        s._last_interim_t = t[0] + s._interim_stagger()
+        # inside the staggered window: cadence check must refuse
+        t[0] += 1.2
+        assert t[0] - s._last_interim_t < 1.0
+        # past it: eligible
+        t[0] += 0.5
+        assert t[0] - s._last_interim_t >= 1.0

@@ -103,3 +103,35 @@ class TestQuantizedModel:
         _, lq = prefill(qp, cfg, prompt, length, init_cache(cfg, 1, 16, jnp.float32))
         denom = np.abs(np.asarray(lf)).max() + 1e-9
         assert np.abs(np.asarray(lf - lq)).max() / denom < 0.05
+
+
+class TestInt8Pallas:
+    """Fused dequant-matmul kernel (ops/int8_pallas.py): interpret-mode
+    parity vs the XLA qtensor path it replaces on TPU decode."""
+
+    @pytest.mark.parametrize(
+        "b,k,n", [(1, 256, 384), (5, 128, 512), (16, 384, 128), (64, 256, 256)]
+    )
+    def test_bit_exact_vs_xla_path(self, b, k, n):
+        from sonicscribe_tpu.ops.int8_pallas import int8_matmul, supported
+
+        rng = np.random.default_rng(b)
+        x = jnp.asarray(rng.standard_normal((b, k)), jnp.bfloat16) * 0.1
+        w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32) * 0.02
+        qt = quantize_tensor(w)
+        assert supported(x.shape, qt["q"].shape)
+        ref = matmul(x, qt)
+        got = int8_matmul(x, qt["q"], qt["scale"], interpret=True)
+        assert got.dtype == x.dtype and got.shape == (b, n)
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32)
+        )
+
+    def test_supported_gating(self):
+        from sonicscribe_tpu.ops.int8_pallas import supported
+
+        assert supported((8, 2048), (2048, 11008))  # gate_up (nano)
+        assert supported((8, 5504), (5504, 2048))  # down (nano)
+        assert not supported((2, 8, 128), (128, 128))  # 3-D prefill
+        assert not supported((8, 100), (100, 128))  # unaligned K
+        assert not supported((8, 128), (128, 100))  # unaligned N

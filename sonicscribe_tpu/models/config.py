@@ -59,6 +59,14 @@ class DecoderConfig:
     rms_eps: float = 1e-5
     qkv_bias: bool = True
     tie_embeddings: bool = True
+    # serving knob, not architecture: decode/verify programs quantize their
+    # activations to int8 on the fly and use the native s8 MXU dot against
+    # int8 weights (ops/quant.matmul_w8a8) instead of upcasting the weight
+    # stream to bf16 on load. Decode-only — prefill keeps the W8A16 path.
+    # Lives on the config because every decode program is jitted with cfg
+    # static, so toggling it re-keys (and re-compiles) exactly the programs
+    # whose numerics change. Set by quant mode "int8-decoder-a8".
+    act_int8_decode: bool = False
 
 
 @dataclass(frozen=True)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sonicscribe_tpu.models.config import AudioEncoderConfig, DecoderConfig, GlmAsrConfig
-from sonicscribe_tpu.ops.quant import matmul
+from sonicscribe_tpu.ops.quant import matmul, matmul_w8a8
 
 Params = Dict[str, Any]
 Cache = Dict[str, jnp.ndarray]
@@ -281,10 +281,18 @@ def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
     return params["decoder"]["embed"][tokens]
 
 
-def _decoder_qkv(lp, h, dec: DecoderConfig):
+def _decode_mm(dec: DecoderConfig):
+    """The matmul the decode/verify programs use for the four decoder
+    projections: the W8A16 convert-dot by default, the native-s8 W8A8 dot
+    when cfg selects it (quant mode "int8-decoder-a8"). Resolved at trace
+    time — dec is static in every jitted program."""
+    return matmul_w8a8 if dec.act_int8_decode else matmul
+
+
+def _decoder_qkv(lp, h, dec: DecoderConfig, mm=matmul):
     B = h.shape[0]
     lead = h.shape[:-1]
-    qkv = matmul(h, lp["qkv_w"])
+    qkv = mm(h, lp["qkv_w"])
     if dec.qkv_bias:
         qkv = qkv + lp["qkv_b"]
     nq = dec.n_heads * dec.head_dim
@@ -313,18 +321,18 @@ def _gqa_context(attn, v):
     return ctx.reshape(B, Sq, nkv * g * hd)
 
 
-def _decoder_layer_mlp(h, lp, dec: DecoderConfig):
+def _decoder_layer_mlp(h, lp, dec: DecoderConfig, mm=matmul):
     """Post-attention half of every decoder layer (shared by prefill,
     decode_step, and decode_step_dual so fixes can't diverge)."""
     hn = _rms_norm(h, lp["ln2_scale"], dec.rms_eps)
-    gate, up = jnp.split(matmul(hn, lp["gate_up_w"]), 2, axis=-1)
-    return h + matmul(jax.nn.silu(gate) * up, lp["down_w"])
+    gate, up = jnp.split(mm(hn, lp["gate_up_w"]), 2, axis=-1)
+    return h + mm(jax.nn.silu(gate) * up, lp["down_w"])
 
 
-def _decode_qkv_rope(lp, hn, dec: DecoderConfig, cos, sin, rot):
+def _decode_qkv_rope(lp, hn, dec: DecoderConfig, cos, sin, rot, mm=matmul):
     """Single-position QKV + RoPE (decode_step / decode_step_dual).
     hn: [B, D] -> q [B, nh, hd], k_new/v_new [B, nkv, hd]."""
-    q, k_new, v_new = _decoder_qkv(lp, hn, dec)
+    q, k_new, v_new = _decoder_qkv(lp, hn, dec, mm=mm)
     q = _apply_rope(q[:, None], cos[:, None], sin[:, None], rot)[:, 0]
     k_new = _apply_rope(k_new[:, None], cos[:, None], sin[:, None], rot)[:, 0]
     return q, k_new, v_new
@@ -487,10 +495,12 @@ def decode_step(
     nkv, g = dec.n_kv_heads, dec.n_heads // dec.n_kv_heads
     scale = 1.0 / math.sqrt(dec.head_dim)
 
+    mm = _decode_mm(dec)
+
     def body(h, layer):
         lp, k_cache, v_cache = layer
         hn = _rms_norm(h, lp["ln1_scale"], dec.rms_eps)
-        q, k_new, v_new = _decode_qkv_rope(lp, hn, dec, cos, sin, rot)
+        q, k_new, v_new = _decode_qkv_rope(lp, hn, dec, cos, sin, rot, mm=mm)
         # match the numerics of reading the stored (cache-dtype) K/V back
         k_new = k_new.astype(k_cache.dtype)
         v_new = v_new.astype(v_cache.dtype)
@@ -534,8 +544,8 @@ def decode_step(
                 jnp.einsum("bkgs,bskd->bkgd", attn[..., :max_len], v_cache)
                 + attn[..., max_len:] * v_new[:, :, None, :]
             ).reshape(B, dec.n_heads * dec.head_dim)
-        h = h + matmul(ctx, lp["o_w"])
-        h = _decoder_layer_mlp(h, lp, dec)
+        h = h + mm(ctx, lp["o_w"])
+        h = _decoder_layer_mlp(h, lp, dec, mm=mm)
         if use_flash or kv_write_in_scan:
             return h, (k_cache, v_cache)
         return h, (k_new, v_new)
@@ -606,10 +616,12 @@ def verify_step(
     b_idx = jnp.arange(B)
     scale = 1.0 / math.sqrt(dec.head_dim)
 
+    mm = _decode_mm(dec)
+
     def body(h, layer):
         lp, k_cache, v_cache = layer
         hn = _rms_norm(h, lp["ln1_scale"], dec.rms_eps)
-        q, k_new, v_new = _decoder_qkv(lp, hn, dec)  # [B, W1, nh/nkv, hd]
+        q, k_new, v_new = _decoder_qkv(lp, hn, dec, mm=mm)  # [B, W1, nh/nkv, hd]
         q = _apply_rope(q, cos, sin, rot)
         k_new = _apply_rope(k_new, cos, sin, rot).astype(k_cache.dtype)
         v_new = v_new.astype(v_cache.dtype)
@@ -619,8 +631,8 @@ def verify_step(
         scores = jnp.where(valid[:, None, None, :, :], scores, NEG_INF)
         attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
         ctx = _gqa_context(attn, v_cache)  # [B, W1, nh*hd]
-        h = h + matmul(ctx, lp["o_w"])
-        h = _decoder_layer_mlp(h, lp, dec)
+        h = h + mm(ctx, lp["o_w"])
+        h = _decoder_layer_mlp(h, lp, dec, mm=mm)
         return h, (k_cache, v_cache)
 
     h, (cache_k, cache_v) = jax.lax.scan(
@@ -675,10 +687,12 @@ def decode_step_dual(
     valid_b = kpos_b <= pos_b[:, None]
     idx_a, idx_b = jnp.arange(Ba), jnp.arange(Bb)
 
+    mm = _decode_mm(dec)
+
     def body(h, layer):
         lp, ka, va, kb, vb = layer
         hn = _rms_norm(h, lp["ln1_scale"], dec.rms_eps)
-        q, k_new, v_new = _decode_qkv_rope(lp, hn, dec, cos, sin, rot)
+        q, k_new, v_new = _decode_qkv_rope(lp, hn, dec, cos, sin, rot, mm=mm)
 
         ka = ka.at[idx_a, pos_a].set(k_new[:Ba].astype(ka.dtype), mode="drop")
         va = va.at[idx_a, pos_a].set(v_new[:Ba].astype(va.dtype), mode="drop")
@@ -691,8 +705,8 @@ def decode_step_dual(
                 _masked_decode_attention(q[Ba:], kb, vb, valid_b, dec),
             ]
         )
-        h = h + matmul(ctx, lp["o_w"])
-        h = _decoder_layer_mlp(h, lp, dec)
+        h = h + mm(ctx, lp["o_w"])
+        h = _decoder_layer_mlp(h, lp, dec, mm=mm)
         return h, (ka, va, kb, vb)
 
     h, (ka, va, kb, vb) = jax.lax.scan(

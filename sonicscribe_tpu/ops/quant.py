@@ -69,6 +69,31 @@ def matmul(x: jnp.ndarray, w: ArrayOrQ) -> jnp.ndarray:
     return x @ w
 
 
+def matmul_w8a8(x: jnp.ndarray, w: ArrayOrQ) -> jnp.ndarray:
+    """x @ w with DYNAMIC per-row activation int8 on top of the weight int8.
+
+    Both operands reach the MXU as s8 (s8 x s8 -> s32 is the native int8
+    systolic mode), so the weight stream never pays the int8->bf16 relayout
+    of the W8A16 `matmul` path on its HBM->MXU load. Activation scales are
+    symmetric per leading row (per token), computed on the fly — the
+    standard dynamic-quant serving recipe; adds ~0.3-1 % relative logit
+    error on top of weight-only int8 (tests/test_quant.py bounds it).
+    Falls back to the W8A16 path for non-quantized weights."""
+    if not is_qtensor(w):
+        return x @ w
+    import jax
+
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        xq, w["q"],
+        (((xq.ndim - 1,), (w["q"].ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (out.astype(jnp.float32) * sx * w["scale"][..., 0, :]).astype(x.dtype)
+
+
 def quantize_params_int8(params: dict, decoder_only: bool = False) -> dict:
     """Quantize a GLM-ASR parameter tree (returns a new tree).
 

@@ -545,15 +545,24 @@ def build_runtime(
         mcfg, params, tokenizer = load_checkpoint(model_spec)
         buckets = tuple(config.prefill_buckets)
 
-    if config.quant_mode in ("int8", "int8-decoder"):
+    if config.quant_mode in ("int8", "int8-decoder", "int8-decoder-a8"):
+        from dataclasses import replace
+
         from sonicscribe_tpu.ops.quant import quantize_params_int8
 
         # int8-decoder: decode-only quantization — bf16 prefill speed with
         # int8 decode bandwidth (see quantize_params_int8 for the measured
-        # rationale); plain int8 keeps reference skip-list parity
+        # rationale); plain int8 keeps reference skip-list parity.
+        # int8-decoder-a8 additionally quantizes decode-program ACTIVATIONS
+        # on the fly so the weight stream feeds the native s8 MXU dot
+        # (ops/quant.matmul_w8a8; INT8_MATMUL_BENCH measured rationale).
         params = quantize_params_int8(
-            params, decoder_only=config.quant_mode == "int8-decoder"
+            params, decoder_only=config.quant_mode != "int8"
         )
+        if config.quant_mode == "int8-decoder-a8":
+            mcfg = replace(
+                mcfg, decoder=replace(mcfg.decoder, act_int8_decode=True)
+            )
 
     transcriber = Transcriber(mcfg, params, tokenizer, prefill_buckets=buckets)
     vad_served = vad_spec  # what actually serves (silero may fall back)
@@ -646,7 +655,10 @@ def main(argv=None):
         help="continuous batcher (default) or single-threaded engine",
     )
     parser.add_argument(
-        "--quant", default=None, help="'native' | 'int8' | 'int8-decoder'"
+        "--quant", default=None,
+        help="'native' | 'int8' | 'int8-decoder' | 'int8-decoder-a8' "
+             "(a8: decode activations quantized on the fly, native s8 MXU "
+             "dot — fastest decode, slightly larger numeric drift)",
     )
     parser.add_argument(
         "--platform", default=None,

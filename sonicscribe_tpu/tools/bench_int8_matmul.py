@@ -1,4 +1,4 @@
-"""On-chip A/B: XLA int8 matmul vs the fused Pallas dequant-matmul kernel.
+"""On-chip A/B of int8 decode-projection strategies.
 
 Times the full per-step decoder projection sweep (the int8 decode roofline
 term): a lax.scan over the nano decoder's 28 stacked layers running the four
@@ -6,9 +6,19 @@ quantized projections (qkv, o, gate_up, down) exactly as decode_step composes
 them, at single-position batch sizes. Reports ms/step and the effective HBM
 read bandwidth against the 1.24 GB int8 weight stream, for
 
-  - bf16    : unquantized weights (the r3 87 %-of-roofline baseline)
-  - int8    : ops/quant.matmul XLA path (convert fused into the dot)
-  - pallas  : ops/int8_pallas fused dequant-matmul
+  - bf16                : unquantized weights (the r3 87 %-of-roofline baseline)
+  - int8_xla            : ops/quant.matmul W8A16 path (convert fused into the dot)
+  - int8_w8a8           : dynamic per-row activation int8 + native s8 MXU dot
+                          (no weight upcast on the load path at all)
+  - int8_pallas         : ops/int8_pallas fused dequant-matmul (naive, XLA
+                          slices the layer before the kernel)
+  - int8_pallas_stacked : scalar-prefetch form (kernel owns the layer slice)
+
+Select variants by name on argv (default: bf16 int8_xla int8_w8a8 — the
+pallas forms measured 273-303 GB/s, below even W8A16, killed by per-call
+overhead + strided [K, n_blk] block DMA at nano scale; kept runnable for
+re-benchmarking on new toolchains). Results MERGE into the existing
+artifact, so partial runs keep the other variants' recorded numbers.
 
 Artifact: INT8_MATMUL_BENCH.json. Run on the real chip (no platform
 override); CPU runs are meaningless for this question.
@@ -17,6 +27,8 @@ override); CPU runs are meaningless for this question.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -28,6 +40,7 @@ from sonicscribe_tpu.ops import quant
 from sonicscribe_tpu.ops.int8_pallas import int8_matmul, int8_matmul_stacked
 
 REPS = 30
+DEFAULT_VARIANTS = ("bf16", "int8_xla", "int8_w8a8")
 
 
 def _layer_weights(cfg, key, dtype=jnp.bfloat16):
@@ -99,6 +112,13 @@ def _time_step(step, weights, h0):
 
 
 def main():
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.sonicscribe_jax_cache"),
+        ),
+    )
     cfg = nano()
     dec = cfg.decoder
     qkv_out = (dec.n_heads + 2 * dec.n_kv_heads) * dec.head_dim
@@ -118,17 +138,22 @@ def main():
     def mm_pallas(x, w):
         return int8_matmul(x, w["q"], w["scale"][0])
 
+    variants = {
+        "bf16": lambda: (w_bf16, _sweep(quant.matmul)),
+        "int8_xla": lambda: (w_q, _sweep(quant.matmul)),
+        "int8_w8a8": lambda: (w_q, _sweep(quant.matmul_w8a8)),
+        "int8_pallas": lambda: (w_q, _sweep(mm_pallas)),
+        "int8_pallas_stacked": lambda: (w_q, _sweep_stacked(w_q)),
+    }
+    chosen = [a for a in sys.argv[1:] if a in variants] or list(DEFAULT_VARIANTS)
+
     results = {}
     for B in (8, 16, 64):
         h0 = jax.random.normal(jax.random.PRNGKey(B), (B, dec.d_model),
                                jnp.bfloat16) * 0.1
         row = {}
-        for name, weights, sweep in (
-            ("bf16", w_bf16, _sweep(quant.matmul)),
-            ("int8_xla", w_q, _sweep(quant.matmul)),
-            ("int8_pallas", w_q, _sweep(mm_pallas)),
-            ("int8_pallas_stacked", w_q, _sweep_stacked(w_q)),
-        ):
+        for name in chosen:
+            weights, sweep = variants[name]()
             ms = _time_step(sweep, weights, h0)
             stream = int8_bytes * (2 if name == "bf16" else 1)
             row[name] = {
@@ -136,19 +161,32 @@ def main():
                 "eff_gb_s": round(stream / (ms / 1000) / 1e9, 1),
             }
             print(f"B={B:3d} {name:12s} {ms:7.3f} ms/step  "
-                  f"{row[name]['eff_gb_s']:6.1f} GB/s eff")
+                  f"{row[name]['eff_gb_s']:6.1f} GB/s eff", flush=True)
         results[f"B{B}"] = row
 
-    art = {
-        "what": "per-decode-step decoder projection sweep (28 layers x "
-                "qkv/o/gate_up/down), nano scale; eff_gb_s = weight bytes "
-                "streamed / time",
-        "int8_weight_gb": round(int8_bytes / 1e9, 3),
-        "backend": jax.default_backend(),
-        "reps": REPS,
-        **results,
-    }
-    with open("INT8_MATMUL_BENCH.json", "w") as f:
+    # merge per-variant into any existing artifact so partial runs keep the
+    # other variants' recorded numbers
+    out_path = "INT8_MATMUL_BENCH.json"
+    art = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                art = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            art = {}
+    art.update(
+        {
+            "what": "per-decode-step decoder projection sweep (28 layers x "
+                    "qkv/o/gate_up/down), nano scale; eff_gb_s = weight bytes "
+                    "streamed / time",
+            "int8_weight_gb": round(int8_bytes / 1e9, 3),
+            "backend": jax.default_backend(),
+            "reps": REPS,
+        }
+    )
+    for bkey, row in results.items():
+        art.setdefault(bkey, {}).update(row)
+    with open(out_path, "w") as f:
         json.dump(art, f, indent=1)
     print("wrote INT8_MATMUL_BENCH.json")
 

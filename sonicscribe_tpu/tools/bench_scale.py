@@ -148,6 +148,16 @@ def main():
             from sonicscribe_tpu.ops.quant import quantize_params_int8
 
             stream100(quantize_params_int8(params), "_int8")
+        if "--skip-int8-decoder" not in sys.argv:
+            from sonicscribe_tpu.ops.quant import quantize_params_int8
+
+            # the recommended serving mode (bf16 prefill + int8 decode) was
+            # the fastest interim class at 50 streams (BENCH_r03: 185.9 ms)
+            # but was never measured at 100 — VERDICT r3 #5
+            stream100(
+                quantize_params_int8(params, decoder_only=True),
+                "_int8_decoder",
+            )
 
     # merge with any prior run so --skip-* partial runs don't clobber the
     # other section's recorded numbers

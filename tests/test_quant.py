@@ -35,6 +35,34 @@ class TestQuantOps:
         rel = np.abs(quant - exact).max() / (np.abs(exact).max() + 1e-9)
         assert rel < 0.02
 
+    def test_matmul_w8a8_close_and_plain_passthrough(self):
+        """Dynamic-activation int8 (native s8 MXU dot): small extra error on
+        top of weight-only int8; plain arrays bypass quantization."""
+        from sonicscribe_tpu.ops.quant import matmul_w8a8
+
+        k = jax.random.PRNGKey(7)
+        x = jax.random.normal(k, (4, 64), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(8), (64, 32)) * 0.05
+        exact = np.asarray(
+            x.astype(jnp.float32) @ w.astype(jnp.float32), np.float32
+        )
+        got = np.asarray(matmul_w8a8(x, quantize_tensor(w)), np.float32)
+        rel = np.abs(got - exact).max() / (np.abs(exact).max() + 1e-9)
+        assert rel < 0.04
+        assert matmul_w8a8(x, quantize_tensor(w)).dtype == x.dtype
+        # 3-D activations (prefill shape) contract correctly too
+        x3 = jax.random.normal(k, (2, 3, 64), jnp.bfloat16)
+        got3 = np.asarray(matmul_w8a8(x3, quantize_tensor(w)), np.float32)
+        ref3 = np.asarray(
+            x3.astype(jnp.float32) @ w.astype(jnp.float32), np.float32
+        )
+        rel3 = np.abs(got3 - ref3).max() / (np.abs(ref3).max() + 1e-9)
+        assert got3.shape == (2, 3, 32) and rel3 < 0.04
+        np.testing.assert_allclose(
+            np.asarray(matmul_w8a8(x, w.astype(jnp.bfloat16)), np.float32),
+            np.asarray(x @ w.astype(jnp.bfloat16), np.float32),
+        )
+
     def test_matmul_stacked_layer_slice(self):
         """scan slices q and scale together: simulate one slice."""
         w = jax.random.normal(jax.random.PRNGKey(3), (3, 16, 8)) * 0.1
@@ -90,6 +118,33 @@ class TestQuantizedModel:
         a = np.asarray(greedy_generate(qp, cfg, prompt, length, 6))
         b = np.asarray(greedy_generate(qp, cfg, prompt, length, 6))
         np.testing.assert_array_equal(a, b)
+
+    def test_act_int8_decode_close_to_w8a16(self):
+        """cfg.act_int8_decode routes decode_step's projections through the
+        native-s8 W8A8 dot (quant mode 'int8-decoder-a8'); logits stay close
+        to the W8A16 int8 path and the flag leaves prefill untouched."""
+        from dataclasses import replace
+
+        from sonicscribe_tpu.models.glm_asr import (
+            decode_step, init_cache, prefill,
+        )
+
+        cfg = tiny()
+        cfg_a8 = replace(cfg, decoder=replace(cfg.decoder, act_int8_decode=True))
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        qp = quantize_params_int8(params, decoder_only=True)
+        prompt = jax.random.normal(
+            jax.random.PRNGKey(6), (2, 8, cfg.decoder.d_model)) * 0.1
+        length = jnp.array([8, 8])
+        cache, l16 = prefill(qp, cfg, prompt, length, init_cache(cfg, 2, 16, jnp.float32))
+        cache8, l8 = prefill(qp, cfg_a8, prompt, length, init_cache(cfg, 2, 16, jnp.float32))
+        # prefill is W8A16 in both modes: bit-identical
+        np.testing.assert_array_equal(np.asarray(l16), np.asarray(l8))
+        tok = jnp.argmax(l16, axis=-1).astype(jnp.int32)
+        _, d16 = decode_step(qp, cfg, cache, tok)
+        _, d8 = decode_step(qp, cfg_a8, cache8, tok)
+        denom = np.abs(np.asarray(d16)).max() + 1e-9
+        assert np.abs(np.asarray(d16 - d8)).max() / denom < 0.05
 
     def test_quantized_logits_close_to_fp(self):
         from sonicscribe_tpu.models.glm_asr import init_cache, prefill

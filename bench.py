@@ -43,7 +43,8 @@ def main():
 
     quick = "--quick" in sys.argv  # tiny model, for CI-style smoke runs
     quant = (
-        "int8-decoder" if "--int8-decoder" in sys.argv
+        "int8-decoder-a8" if "--int8-decoder-a8" in sys.argv
+        else "int8-decoder" if "--int8-decoder" in sys.argv
         else "int8" if "--int8" in sys.argv
         else "native"
     )
@@ -51,12 +52,16 @@ def main():
     cfg = tiny() if quick else nano()
     dtype = jnp.float32 if quick else jnp.bfloat16
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    if quant in ("int8", "int8-decoder"):
+    if quant.startswith("int8"):
         from sonicscribe_tpu.ops.quant import quantize_params_int8
 
-        params = quantize_params_int8(
-            params, decoder_only=quant == "int8-decoder"
-        )
+        params = quantize_params_int8(params, decoder_only=quant != "int8")
+        if quant == "int8-decoder-a8":
+            from dataclasses import replace
+
+            cfg = replace(
+                cfg, decoder=replace(cfg.decoder, act_int8_decode=True)
+            )
     tokenizer = ByteTokenizer(cfg)
 
     file_bucket = 256 if quick else 3072  # 30 s of mel frames

@@ -1074,6 +1074,17 @@ class BatchedEngine:
         # (admission pacing: bounds the host-prep + prefill work a file
         # burst can inject into one tick; see _admit_backlogs)
         self.busy_long_admit_cap = 2
+        # mixed-load rationing: dispatch short-class admits + decode ahead
+        # of long-class admits in each tick. Default OFF: the same-process
+        # A/B (MIXED_BENCH.json r4) measured it a net loss — interim p50
+        # 310 vs 254 ms and file RTF 0.057 vs 0.041 against the combined-
+        # admit order, for a marginal p95 gain (575 vs 646). The deferral
+        # splits admission into two host-prep passes per tick and the
+        # starved-pool early-resolve spends a blocking RTT mid-tick.
+        self.ration_long_admits = False
+        # de-synchronize lockstep interim cohorts with a per-stream cadence
+        # phase (see interim_stagger; bench_scale A/Bs this flag)
+        self.stagger_interims = True
         # file pipeline may run this many segment decodes concurrently
         self.concurrency_hint = slots
         # while the short (interim) class is ACTIVE, a LONG-pool prefill
@@ -1230,6 +1241,8 @@ class BatchedEngine:
         within the same >= 1 s cadence de-synchronizes the waves. Returns
         0.0 — no UX cost — unless live streams could fill half the short
         pool in one wave."""
+        if not self.stagger_interims:
+            return 0.0
         live = self.N_STREAMS - len(self._free_streams)
         if stream_idx is None or live * 2 < len(self.short.slots):
             return 0.0
@@ -2483,7 +2496,11 @@ class BatchedEngine:
         if self._ring_backlog or self._host_backlog:
             if self._pending_results is not None and self._any_pool_starved():
                 self._resolve_pending()
-            self._admit_backlogs(only=None if self.fuse_dual else self.short)
+            self._admit_backlogs(
+                only=self.short
+                if (self.ration_long_admits and not self.fuse_dual)
+                else None
+            )
         else:
             # no waiting work: clear the stale routing flag so the long
             # pool's pending-cap exception (_pick_k) isn't suppressed by a
@@ -2506,7 +2523,9 @@ class BatchedEngine:
             parked = []
             if self.short.n_active > 0:
                 self._dispatch_decode_pool(self.short, parked)
-            if self._ring_backlog or self._host_backlog:
+            if self.ration_long_admits and (
+                self._ring_backlog or self._host_backlog
+            ):
                 self._admit_backlogs(only=self.long)
             if self.long.n_active > 0:
                 self._dispatch_decode_pool(self.long, parked)

@@ -36,7 +36,11 @@ def main():
     from sonicscribe_tpu.models import nano
     from sonicscribe_tpu.models.glm_asr import init_params
     from sonicscribe_tpu.models.tokenizer import ByteTokenizer
-    from sonicscribe_tpu.tools.loadtest import run_load
+    from sonicscribe_tpu.tools.loadtest import (
+        compile_probe_s,
+        run_load,
+        tunnel_rtt_ms,
+    )
     from sonicscribe_tpu.vad.model import EnergyVad
 
     cfg = nano()
@@ -58,24 +62,33 @@ def main():
 
     results = {"backend": jax.default_backend(), "streams": n_streams,
                "file_segments": n_seg,
-               "file_audio_seconds": round(n_seg * seg_seconds, 1)}
+               "file_audio_seconds": round(n_seg * seg_seconds, 1),
+               "tunnel_rtt_ms": tunnel_rtt_ms(),
+               "compile_probe_s": compile_probe_s()}
     app_cfg = AppConfig()
 
     # one engine per variant, all in ONE process back-to-back: the shared
     # tunneled chip drifts 20-60% between processes/hours, so only
-    # same-process A/B comparisons are trustworthy
+    # same-process A/B comparisons are trustworthy.
+    # (tag, fuse_dual, long_live_k_cap, ration_long_admits, stagger)
+    # r4 A/B (recorded in MIXED_BENCH.json): rationing lost on every metric
+    # (interim p50 310 vs 254, file RTF 0.057 vs 0.041, p95 575 vs 646) so
+    # the shipped default is now ration OFF; the legs keep the A/B honest.
     variants = (
-        ("kcap8", False, 8),  # the shipped default
-        ("kcap_off", False, 10**9),  # uncapped long programs
-        ("fuse_on", True, 8),
+        ("shipped", False, 8, False, True),  # the shipped default (r4)
+        ("ration_on", False, 8, True, True),
+        ("r3_config", False, 8, False, False),  # pre-d2773ec behavior
+        ("fuse_on", True, 8, False, True),
     )
-    for tag, fuse, kcap in variants:
+    for tag, fuse, kcap, ration, stagger in variants:
         tr = Transcriber(cfg, params, tokenizer, prefill_buckets=(128, 512))
         engine = BatchedEngine(
             tr, EnergyVad(), slots=32, max_decode_tokens=256,
             base_logit_bias=no_eos, fuse_dual_decode=fuse,
         )
         engine.long_live_k_cap = kcap
+        engine.ration_long_admits = ration
+        engine.stagger_interims = stagger
         engine.warmup()
         loop = asyncio.new_event_loop()
 

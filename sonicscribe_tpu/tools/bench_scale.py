@@ -112,7 +112,7 @@ def main():
     if "--skip-streams" not in sys.argv:
         n_streams = 100
 
-        def stream100(stream_params, tag):
+        def stream100(stream_params, tag, stagger=True):
             tr_s = Transcriber(
                 cfg, stream_params, tokenizer, prefill_buckets=(128, 512)
             )
@@ -120,6 +120,7 @@ def main():
                 tr_s, SileroCostProbeVad(), slots=64, max_decode_tokens=200,
                 n_streams=128, base_logit_bias=no_eos,
             )
+            s_engine.stagger_interims = stagger
             t_w = time.perf_counter()
             s_engine.warmup()
             results[f"stream100{tag}_warmup_s"] = round(time.perf_counter() - t_w, 1)
@@ -144,6 +145,10 @@ def main():
             )
 
         stream100(params, "")
+        if "--stagger-ab" in sys.argv:
+            # the stagger exists FOR this workload (lockstep cohorts at 2x
+            # oversubscription); the A/B that justifies the default
+            stream100(params, "_nostagger", stagger=False)
         if "--skip-int8" not in sys.argv:
             from sonicscribe_tpu.ops.quant import quantize_params_int8
 
@@ -158,6 +163,12 @@ def main():
                 quantize_params_int8(params, decoder_only=True),
                 "_int8_decoder",
             )
+            if "--stagger-ab" in sys.argv:
+                stream100(
+                    quantize_params_int8(params, decoder_only=True),
+                    "_int8_decoder_nostagger",
+                    stagger=False,
+                )
 
     # merge with any prior run so --skip-* partial runs don't clobber the
     # other section's recorded numbers

@@ -77,6 +77,28 @@ class TestBatcherParity:
             np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
         assert stats["prefills"] == 8
 
+    def test_ration_flag_off_token_parity(self, stack):
+        """ration_long_admits=False (the bench A/B leg restoring combined
+        admits) must still produce token-exact results."""
+        cfg, tr = stack
+        audios = [_audio(0.3 + 0.07 * i, f=200 + 60 * i, seed=i) for i in range(6)]
+        golden = [tr.transcribe(a, SR, max_new_tokens=8).tokens for a in audios]
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32)
+            eng.ration_long_admits = False
+            try:
+                results = await asyncio.gather(
+                    *[eng.transcribe(a, SR, max_new_tokens=8) for a in audios]
+                )
+                return [r.tokens for r in results]
+            finally:
+                eng.shutdown()
+
+        got = _run(go())
+        for i, (g, w) in enumerate(zip(got, golden)):
+            np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
+
     def test_hotword_bias_in_batch(self, stack):
         cfg, tr = stack
         strong = Transcriber(
@@ -524,6 +546,22 @@ class TestInterimStagger:
             assert len(offs) > 1
             assert all(0.0 <= o < 1.0 for o in offs)
             for i in [a, *claimed]:
+                eng.free_stream(i)
+        finally:
+            eng.shutdown()
+
+    def test_stagger_flag_off_disables_phases(self, stack):
+        """stagger_interims=False (the bench A/B leg) forces phase 0 even
+        for pool-filling cohorts."""
+        _cfg, tr = stack
+        eng = BatchedEngine(
+            tr, EnergyVad(), slots=4, max_decode_tokens=32, n_streams=4
+        )
+        try:
+            claimed = [eng.alloc_stream() for _ in range(4)]
+            eng.stagger_interims = False
+            assert all(eng.interim_stagger(i) == 0.0 for i in claimed)
+            for i in claimed:
                 eng.free_stream(i)
         finally:
             eng.shutdown()

@@ -39,7 +39,7 @@ from sonicscribe_tpu.models import nano
 from sonicscribe_tpu.ops import quant
 
 REPS = 30
-DEFAULT_VARIANTS = ("int8_xla", "int4_packed", "int4_native", "int4_w4a8")
+DEFAULT_VARIANTS = ("int8_xla", "int4_pallas", "int4_pallas_w4a8")
 
 
 def _layer_shapes(dec):
@@ -171,11 +171,56 @@ def main():
         for name, t in w4.items()
     }
 
+    # halved-K packing for the Pallas kernels (ops/int4_pallas): low nibble
+    # = row k, high nibble = row k + K/2 — the unpack is 3 arithmetic shifts
+    from sonicscribe_tpu.ops.int4_pallas import (
+        int4_matmul_stacked,
+        int4_matmul_w4a8_stacked,
+        pack_int4,
+    )
+
+    wp = {
+        name: {
+            "p": pack_int4(t["codes"]),
+            "scale": t["scale"].astype(jnp.float32),
+        }
+        for name, t in w4.items()
+    }
+    n_layers = next(iter(shapes.values()))[0]
+
+    def _sweep_pallas(mm_stacked):
+        """Stacked scalar-prefetch chain; weights flow in as the jit
+        argument (closing over the concrete GB-scale stack embeds it as an
+        HLO literal the remote compile service chokes on)."""
+
+        def step(weights, h):
+            def body(h, l):
+                def mm(x, t):
+                    return mm_stacked(x, t["p"], t["scale"], l)
+
+                qkv = mm(h, weights["qkv_w"])
+                h = h + 0.01 * mm(qkv[:, : h.shape[1]], weights["o_w"])
+                gu = mm(h, weights["gate_up_w"])
+                gate, up = jnp.split(gu, 2, axis=-1)
+                h = h + 0.01 * mm(jax.nn.silu(gate) * up, weights["down_w"])
+                return h, None
+
+            h, _ = jax.lax.scan(body, h, jnp.arange(n_layers))
+            return h
+
+        return jax.jit(step)
+
     variants = {
         "int8_xla": (w8, _sweep(_mm_int8, None), int(n_el)),
         "int4_packed": (w4, _sweep(_mm_packed, "packed"), int(n_el) // 2),
         "int4_native": (w4, _sweep(_mm_native, "i4"), int(n_el) // 2),
         "int4_w4a8": (w4, _sweep(_mm_w4a8, "i4"), int(n_el) // 2),
+        "int4_pallas": (
+            wp, _sweep_pallas(int4_matmul_stacked), int(n_el) // 2,
+        ),
+        "int4_pallas_w4a8": (
+            wp, _sweep_pallas(int4_matmul_w4a8_stacked), int(n_el) // 2,
+        ),
     }
     chosen = [a for a in sys.argv[1:] if a in variants] or list(DEFAULT_VARIANTS)
 

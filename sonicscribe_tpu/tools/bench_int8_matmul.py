@@ -78,23 +78,25 @@ def _sweep(mm):
     return jax.jit(step)
 
 
-def _sweep_stacked(w_q):
+def _sweep_stacked(n_layers):
     """Same chain, but the pallas kernel receives the FULL stacked weights
-    and the layer index by scalar prefetch (no pre-kernel slice copy)."""
-    n_layers = w_q["qkv_w"]["q"].shape[0]
+    and the layer index by scalar prefetch (no pre-kernel slice copy).
+    Weights MUST flow in as the jit argument: closing over the concrete
+    1.24 GB stack embeds it as an HLO literal that the remote compile
+    service chokes on (the axon-tunnel closure-capture hang)."""
 
     def mm(x, t, l):
         return int8_matmul_stacked(x, t["q"], t["scale"], l)
 
-    def body(h, l):
-        qkv = mm(h, w_q["qkv_w"], l)
-        h = h + 0.01 * mm(qkv[:, : h.shape[1]], w_q["o_w"], l)
-        gu = mm(h, w_q["gate_up_w"], l)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        h = h + 0.01 * mm(jax.nn.silu(gate) * up, w_q["down_w"], l)
-        return h, None
+    def step(weights, h):
+        def body(h, l):
+            qkv = mm(h, weights["qkv_w"], l)
+            h = h + 0.01 * mm(qkv[:, : h.shape[1]], weights["o_w"], l)
+            gu = mm(h, weights["gate_up_w"], l)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            h = h + 0.01 * mm(jax.nn.silu(gate) * up, weights["down_w"], l)
+            return h, None
 
-    def step(_weights, h):
         h, _ = jax.lax.scan(body, h, jnp.arange(n_layers))
         return h
 
@@ -143,7 +145,9 @@ def main():
         "int8_xla": lambda: (w_q, _sweep(quant.matmul)),
         "int8_w8a8": lambda: (w_q, _sweep(quant.matmul_w8a8)),
         "int8_pallas": lambda: (w_q, _sweep(mm_pallas)),
-        "int8_pallas_stacked": lambda: (w_q, _sweep_stacked(w_q)),
+        "int8_pallas_stacked": lambda: (
+            w_q, _sweep_stacked(w_q["qkv_w"]["q"].shape[0])
+        ),
     }
     chosen = [a for a in sys.argv[1:] if a in variants] or list(DEFAULT_VARIANTS)
 

@@ -2483,16 +2483,15 @@ class BatchedEngine:
         ]
         t_vad = time.perf_counter()
 
-        # 2) short-class admits FIRST (dispatch only). If a pool is starved
-        # while its class has a burst waiting, resolve the previous tick NOW
-        # (one early RTT) to free its finished slots. Long-class admits are
-        # deferred until AFTER the short decode dispatch (step 3) so every
-        # program the interim class needs this tick enters the device queue
-        # ahead of a concurrent file job's prefill — under mixed load the
-        # long prefills dispatched here used to run before the interim wave
-        # on the serial device queue every tick (MIXED_BENCH r4 rationing).
-        # The fused-dual mode keeps the combined order: its single decode
-        # program needs both pools admitted first.
+        # 2) admits (dispatch only). If a pool is starved while its class
+        # has a burst waiting, resolve the previous tick NOW (one early RTT)
+        # to free its finished slots. With ration_long_admits (default OFF
+        # — the same-process A/B in MIXED_BENCH.json r4 measured the
+        # deferral a net loss: two host-prep passes per tick and the early
+        # resolve's blocking RTT cost more than the device-queue ordering
+        # won) long-class admits are deferred until AFTER the short decode
+        # dispatch in step 3. The fused-dual mode always uses the combined
+        # order: its single decode program needs both pools admitted first.
         if self._ring_backlog or self._host_backlog:
             if self._pending_results is not None and self._any_pool_starved():
                 self._resolve_pending()

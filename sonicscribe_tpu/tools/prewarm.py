@@ -37,7 +37,8 @@ def main(argv=None) -> None:
                    help="'tiny-random' | 'nano-random' | checkpoint dir")
     p.add_argument("--vad", default="energy", help="'energy' | 'silero' | weights path")
     p.add_argument("--quant", default="native",
-                   choices=("native", "int8", "int8-decoder"))
+                   choices=("native", "int8", "int8-decoder",
+                            "int8-decoder-a8"))
     p.add_argument("--out", required=True, help="store directory to create/extend")
     p.add_argument("--full", action="store_true",
                    help="prewarm the full (bucket, B) prefill grid")

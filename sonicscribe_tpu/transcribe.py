@@ -21,7 +21,9 @@ def main(argv=None):
     ap.add_argument("audio", help="path to an audio file (WAV preferred)")
     ap.add_argument("--model", default="tiny-random",
                     help="'tiny-random' | 'nano-random' | checkpoint dir")
-    ap.add_argument("--quant", default="native", choices=("native", "int8"))
+    ap.add_argument("--quant", default="native",
+                    choices=("native", "int8", "int8-decoder",
+                             "int8-decoder-a8"))
     ap.add_argument("--vad", action="store_true", help="VAD-segment the file")
     ap.add_argument("--hotwords", default="", help="comma-separated, max 10")
     ap.add_argument("--max-new-tokens", type=int, default=256)

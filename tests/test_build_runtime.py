@@ -22,6 +22,8 @@ def _run(coro):
         ("energy", "batched", "native"),
         ("energy", "threaded", "native"),
         ("energy", "batched", "int8"),
+        ("energy", "batched", "int8-decoder"),
+        ("energy", "batched", "int8-decoder-a8"),
     ],
 )
 def test_runtime_matrix(vad_spec, engine_kind, quant):

@@ -170,6 +170,20 @@ def main():
     batched_rtf = dt / (n_seg * seg_seconds)
     single_engine_rtf = single_dt / seg_seconds
 
+    # file-phase headline NOW: if the tunnel wedges during the stream phase
+    # (observed r4: device fetches hanging >60 s after sustained load) the
+    # process hangs until the driver's timeout and would otherwise record
+    # nothing — this line keeps the primary metric in the captured tail
+    print(json.dumps({
+        "metric": "file_rtf_batched",
+        "value": round(batched_rtf, 5),
+        "unit": "ratio",
+        "vs_baseline": round(0.02 / batched_rtf, 3),
+        "quant": quant,
+        "phase": "file-only (stream phase follows; its headline "
+                 "supersedes this line)",
+    }), flush=True)
+
     # ---- realtime multi-stream serving (north-star metric #1):
     # N concurrent 64 ms-chunk sessions through the device audio ring +
     # continuous batcher, realtime-paced, measuring tentative latency ----

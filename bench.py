@@ -370,8 +370,11 @@ def main():
     # compact headline LAST (the driver records a bounded output tail;
     # the full-detail line overflowed it in r3 and parsed as null)
     def grab(base):
+        # the unsuffixed run used THIS process's quant mode (only a native
+        # run adds the _int8/_int8dec variants, so labeling it 'native'
+        # would attribute quantized numbers to the wrong mode)
         return {
-            s or "native": detail.get(f"{base}{s and '_' + s}")
+            s or quant: detail.get(f"{base}{s and '_' + s}")
             for s in ("", "int8", "int8dec")
             if f"{base}{s and '_' + s}" in detail
         }

@@ -1826,10 +1826,17 @@ class BatchedEngine:
         Production never calls this — the scheduler's idle ticks drain the
         queue interleaved with live traffic. Returns seconds spent."""
         t0 = time.perf_counter()
-        while self._replay_queue:
+        while True:
             if timeout is not None and time.perf_counter() - t0 > timeout:
                 break
-            self._run_replay_thunk(self._replay_queue.popleft())
+            try:
+                # single atomic popleft: a check-then-pop pattern races the
+                # scheduler's idle-tick drain when called on a started
+                # engine (both consume this deque)
+                thunk = self._replay_queue.popleft()
+            except IndexError:
+                break
+            self._run_replay_thunk(thunk)
         np.asarray(self.long.cache_len[:1])  # drain the dispatch queue
         self.stats["warmup_replay_pending"] = len(self._replay_queue)
         return time.perf_counter() - t0

@@ -16,11 +16,14 @@ upcasts to bf16 on the VPU, runs the `[B, K] x [K, n_blk]` MXU dot at f32
 accumulation, and applies the per-output-channel scale to the f32 result
 before the single cast back to the activation dtype.
 
-Used by ops/quant.matmul for 2-D activations (the decode step / single-
-position path) on TPU; prefill keeps the XLA path (int8 prefill is
-compute-bound and measured strictly slower — see quantize_params_int8's
-rationale). Numerics: identical quantized weights, scale applied after the
-f32-accumulated dot on both paths; parity covered by tests/test_quant.py.
+NOT wired into serving: on chip both forms measured SLOWER than the HLO
+XLA emits for ops/quant.matmul's convert-into-dot (295-303 vs 342-446
+GB/s effective, INT8_MATMUL_BENCH.json — the r3 55-65 % reading above was
+an epoch artifact; the r4 roofline probe shows XLA already at ~85-95 % of
+the chip's real streaming ceiling). The kernels and their interpret-mode
+parity tests (tests/test_quant.py) are kept as the measured baseline for
+hardware where the tradeoff flips. Numerics: identical quantized weights,
+scale applied after the f32-accumulated dot on both paths.
 """
 
 from __future__ import annotations

@@ -221,7 +221,7 @@ HF_NAME_MAP: dict[str, str] = {
 
 TRANSPOSED_SUFFIXES = (
     "q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w",
-    "qkv_w", "gate_up_w", "down_w", "fc1/w", "fc2/w",
+    "qkv_w", "gate_up_w", "down_w", "fc1/w", "fc2/w", "lm_head",
 )
 
 # HF tensors that are EXPECTED to have no native mapping: derived buffers
@@ -537,7 +537,17 @@ def convert_hf_checkpoint(
         )
 
     sd = _load_hf_state_dict(src)
-    name_map = name_map or HF_NAME_MAP
+    if name_map is None:
+        # specialize the static table to THIS architecture: a no-bias
+        # checkpoint (attention_bias=false) has no qkv_proj.bias tensors to
+        # fetch (the native zeros leaf is synthesized below), and an untied
+        # checkpoint (tie_word_embeddings=false) carries a real lm_head the
+        # static map deliberately omits for the tied default
+        name_map = dict(HF_NAME_MAP)
+        if not cfg.decoder.qkv_bias:
+            name_map.pop("decoder/layers/qkv_b@{L}")
+        if not cfg.decoder.tie_embeddings:
+            name_map["decoder/lm_head"] = "lm_head.weight"
     flat: dict[str, np.ndarray] = {}
     consumed: set[str] = set()
 
@@ -570,6 +580,15 @@ def convert_hf_checkpoint(
             if ours.startswith("encoder/conv"):  # HF conv1d: [out, in, k] -> [k, in, out]
                 v = np.transpose(v, (2, 1, 0)) if v.ndim == 3 else v
             flat[ours] = v
+
+    if "decoder/layers/qkv_b" not in flat:
+        # no-bias checkpoint: the forward skips the add (cfg.qkv_bias is
+        # False) but init_params always carries the leaf — synthesize zeros
+        dec = cfg.decoder
+        qkv_out = (dec.n_heads + 2 * dec.n_kv_heads) * dec.head_dim
+        flat["decoder/layers/qkv_b"] = np.zeros(
+            (dec.n_layers, qkv_out), np.float32
+        )
 
     # LOUD validation: every mapped tensor's post-transform shape must match
     # the model's expected-shape table; collect ALL mismatches in one report

@@ -45,7 +45,15 @@ def export_hf_checkpoint(
 
     flat = {k: np.asarray(v, np.float32) for k, v in _flatten(params).items()}
     out: dict[str, np.ndarray] = {}
-    name_map = name_map or HF_NAME_MAP
+    if name_map is None:
+        # mirror convert_hf_checkpoint's per-architecture specialization:
+        # no qkv bias tensors for attention_bias=false, a real lm_head for
+        # tie_word_embeddings=false
+        name_map = dict(HF_NAME_MAP)
+        if not cfg.decoder.qkv_bias:
+            name_map.pop("decoder/layers/qkv_b@{L}")
+        if not cfg.decoder.tie_embeddings:
+            name_map["decoder/lm_head"] = "lm_head.weight"
     for ours, theirs in name_map.items():
         if "@{L}" in ours:
             base = ours.split("@")[0]

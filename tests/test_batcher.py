@@ -77,16 +77,18 @@ class TestBatcherParity:
             np.testing.assert_array_equal(g, w, err_msg=f"request {i}")
         assert stats["prefills"] == 8
 
-    def test_ration_flag_off_token_parity(self, stack):
-        """ration_long_admits=False (the bench A/B leg restoring combined
-        admits) must still produce token-exact results."""
+    @pytest.mark.parametrize("ration", [False, True])
+    def test_ration_flag_token_parity(self, stack, ration):
+        """Both legs of the admission-order A/B (combined admits — the
+        default — and the rationed short-first order with mid-tick long
+        admits) must produce token-exact results."""
         cfg, tr = stack
         audios = [_audio(0.3 + 0.07 * i, f=200 + 60 * i, seed=i) for i in range(6)]
         golden = [tr.transcribe(a, SR, max_new_tokens=8).tokens for a in audios]
 
         async def go():
             eng = BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32)
-            eng.ration_long_admits = False
+            eng.ration_long_admits = ration
             try:
                 results = await asyncio.gather(
                     *[eng.transcribe(a, SR, max_new_tokens=8) for a in audios]

@@ -152,3 +152,55 @@ def test_converted_checkpoint_token_exact_vs_torch(converted):
         assert jax_list == torch_tokens, (
             f"hotwords={hotwords}: JAX {jax_list} != torch {torch_tokens}"
         )
+
+
+def test_untied_nobias_variant_roundtrips(tmp_path):
+    """Architectures the derivation path claims to support must actually
+    convert (r4 review finding): tie_word_embeddings=false carries a real
+    lm_head, attention_bias=false has no qkv bias tensors. Exercises the
+    per-architecture name-map specialization in BOTH directions
+    (export_hf_checkpoint and convert_hf_checkpoint) plus cfg derivation
+    from config.json (cfg=None)."""
+    import dataclasses
+
+    from sonicscribe_tpu.tools.export_hf import (
+        export_hf_checkpoint,
+        make_test_tokenizer,
+    )
+
+    base = tiny()
+    cfg = dataclasses.replace(
+        base,
+        decoder=dataclasses.replace(
+            base.decoder, tie_embeddings=False, qkv_bias=False
+        ),
+    )
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    hf_dir = str(tmp_path / "hf")
+    export_hf_checkpoint(params, cfg, hf_dir)
+    make_test_tokenizer(hf_dir, vocab_size=cfg.decoder.vocab_size, cfg=cfg)
+
+    from safetensors.numpy import load_file
+
+    sd = load_file(os.path.join(hf_dir, "model.safetensors"))
+    assert "lm_head.weight" in sd
+    assert not any("qkv_proj.bias" in n for n in sd)
+
+    out = str(tmp_path / "native")
+    # cfg=None: derive the variant architecture from config.json
+    convert_hf_checkpoint(hf_dir, out, cfg=None, progress=lambda _m: None)
+    cfg2, params2, _tok = load_checkpoint(out)
+    assert cfg2.decoder.tie_embeddings is False
+    assert cfg2.decoder.qkv_bias is False
+
+    flat_orig = _flatten(jax.tree.map(np.asarray, params))
+    flat_conv = _flatten(
+        jax.tree.map(lambda x: np.asarray(x.astype(jnp.float32)), params2)
+    )
+    assert set(flat_orig) == set(flat_conv)
+    for k, v in flat_orig.items():
+        want = np.asarray(jnp.asarray(v, jnp.bfloat16).astype(jnp.float32))
+        if k == "decoder/layers/qkv_b":
+            # no-bias checkpoints synthesize the (unused) zeros leaf
+            want = np.zeros_like(want)
+        np.testing.assert_array_equal(flat_conv[k], want, err_msg=k)

@@ -162,7 +162,9 @@ class TestQuantizedModel:
 
 class TestInt8Pallas:
     """Fused dequant-matmul kernel (ops/int8_pallas.py): interpret-mode
-    parity vs the XLA qtensor path it replaces on TPU decode."""
+    parity vs the XLA qtensor path. NOT wired into serving — measured
+    slower than XLA's own fusion on chip (INT8_MATMUL_BENCH.json); kept
+    as the baseline for hardware where the tradeoff flips."""
 
     @pytest.mark.parametrize(
         "b,k,n", [(1, 256, 384), (5, 128, 512), (16, 384, 128), (64, 256, 256)]

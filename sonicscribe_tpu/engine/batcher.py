@@ -965,6 +965,14 @@ class BatchedEngine:
         # watchdog: a scheduler tick blocked longer than this dumps all
         # thread stacks to the log (diagnosis only; the tick keeps running)
         self.tick_stall_dump_s = 60.0
+        # ...and give up entirely after this long: fail every in-flight
+        # future and crash the scheduler (clients get errors, /health goes
+        # dead, the supervisor restarts the process) instead of hanging
+        # every session forever. Observed for real in r4: the device
+        # runtime wedged for >1 h after sustained load — the stuck fetch
+        # thread itself cannot be cancelled, so a process restart is the
+        # actual remedy; this bounds how long sessions wait to learn it.
+        self.tick_stall_abort_s = 600.0
         self.pools = (self.short, self.long)
         # the SHORT pool's k ladder derives from short_budget: _pick_k picks
         # the smallest choice >= min remaining <= short_budget-1, so the
@@ -2374,10 +2382,16 @@ class BatchedEngine:
                         )
                     except asyncio.TimeoutError:
                         # a tick stuck this long means a device fetch hung
-                        # (observed rarely on the tunnel backend after
-                        # sustained overload). The tick CANNOT be abandoned
-                        # — it mutates pool state — so dump every thread's
-                        # stack for diagnosis and keep waiting.
+                        # (observed on the tunnel backend after sustained
+                        # overload). The tick cannot be SAFELY abandoned —
+                        # it mutates pool state — so dump every thread's
+                        # stack and keep waiting, but only up to
+                        # tick_stall_abort_s: past that the device runtime
+                        # is declared wedged and the scheduler crashes,
+                        # failing every in-flight future (the alternative
+                        # is every session hanging forever; the stuck
+                        # fetch thread itself is uncancellable, so the
+                        # supervisor's process restart is the remedy).
                         import faulthandler
 
                         logger.error(
@@ -2386,7 +2400,22 @@ class BatchedEngine:
                             self.tick_stall_dump_s,
                         )
                         faulthandler.dump_traceback(all_threads=True)
-                        await fut
+                        waited = self.tick_stall_dump_s
+                        while True:
+                            try:
+                                await asyncio.wait_for(
+                                    asyncio.shield(fut),
+                                    self.tick_stall_dump_s,
+                                )
+                                break
+                            except asyncio.TimeoutError:
+                                waited += self.tick_stall_dump_s
+                                if waited >= self.tick_stall_abort_s:
+                                    raise RuntimeError(
+                                        f"device fetch wedged > {waited:.0f}"
+                                        " s — abandoning the engine; "
+                                        "restart the process"
+                                    )
 
                 self.stats["ticks"] += 1
                 if not did_work:

@@ -497,6 +497,37 @@ class TestBaseLogitBias:
         assert all(t == qid for t in r_plain2.tokens)  # reset -> base
 
 
+class TestStallAbort:
+    def test_wedged_tick_crashes_engine_and_fails_futures(self, stack):
+        """A tick hung past tick_stall_abort_s (a wedged device runtime,
+        observed r4) must crash the scheduler and FAIL in-flight futures
+        instead of hanging every caller forever."""
+        import time as _time
+
+        cfg, tr = stack
+        audio = _audio(0.3, seed=7)
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=2, max_decode_tokens=16)
+            eng.tick_stall_dump_s = 0.1
+            eng.tick_stall_abort_s = 0.3
+            eng._tick = lambda *_a, **_k: _time.sleep(3.0)  # wedge
+            fut = asyncio.ensure_future(
+                eng.transcribe(audio, SR, max_new_tokens=4)
+            )
+            try:
+                await asyncio.wait_for(fut, timeout=10.0)
+                return "completed"
+            except RuntimeError:
+                return "failed"
+            except asyncio.TimeoutError:
+                return "hung"
+            finally:
+                eng.shutdown()
+
+        assert _run(go()) == "failed"
+
+
 class TestShutdownCleanliness:
     def test_shutdown_fails_inflight_requests(self, stack):
         """Stopping the engine with requests in flight must FAIL their

@@ -1167,6 +1167,15 @@ class BatchedEngine:
     def MAX_LEN(self) -> int:
         return self.long.max_len
 
+    @property
+    def alive(self) -> bool:
+        """False once the scheduler has crashed (e.g. the tick-stall abort
+        on a wedged device runtime) — /health surfaces this as 'degraded'
+        so a supervisor's liveness probe can trigger the restart that is
+        the actual remedy. True before first start (lazy start is
+        healthy)."""
+        return self._task is None or not self._task.done()
+
     # ---------------- public async interface ----------------
 
     async def start(self) -> None:

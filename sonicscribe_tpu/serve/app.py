@@ -92,9 +92,16 @@ def _device_memory() -> dict:
 async def health(request: web.Request) -> web.Response:
     app = request.app
     engine = app.get("engine")
+    # a crashed scheduler (tick-stall abort on a wedged device) reports
+    # degraded: a supervisor liveness probe keys off this to restart
+    alive = getattr(engine, "alive", True)
     return web.json_response(
         {
-            "status": "ok" if engine else "initializing",
+            "status": (
+                "ok" if engine and alive
+                else "degraded" if engine
+                else "initializing"
+            ),
             "model_loaded": engine is not None,
             "vad_loaded": app.get("vad") is not None,
             "model_info": app.get("model_info", {}),

@@ -519,6 +519,8 @@ class TestStallAbort:
                 await asyncio.wait_for(fut, timeout=10.0)
                 return "completed"
             except RuntimeError:
+                await asyncio.sleep(0)  # let the scheduler task finish
+                assert eng.alive is False  # /health reports degraded
                 return "failed"
             except asyncio.TimeoutError:
                 return "hung"

@@ -111,6 +111,21 @@ async def test_health_and_debug_config(app, aiohttp_client):
     assert d["samples_per_chunk"] == 1024
 
 
+async def test_health_degraded_when_engine_dead(app, aiohttp_client):
+    """A crashed scheduler (tick-stall abort on a wedged device) must show
+    in /health so a supervisor liveness probe can restart the process."""
+    client = await aiohttp_client(app)
+    app["engine"].alive  # property exists on the real engine
+
+    class Dead:
+        alive = False
+        stats = {"ticks": 1}
+
+    app["engine"] = Dead()
+    body = await (await client.get("/health")).json()
+    assert body["status"] == "degraded" and body["model_loaded"]
+
+
 async def test_vad_config_validation(app, aiohttp_client):
     client = await aiohttp_client(app)
     r = await client.post("/vad/config", json={"threshold": 0.7})

@@ -41,6 +41,35 @@ def main():
     from sonicscribe_tpu.models.glm_asr import init_params, param_count
     from sonicscribe_tpu.models.tokenizer import ByteTokenizer
 
+    # bounded device-liveness preflight: a wedged device runtime (observed
+    # r4: transfers hang indefinitely after sustained load) would otherwise
+    # hang before ANY output, leaving the driver's artifact empty. A dead
+    # probe prints a parseable headline with the error and exits.
+    import concurrent.futures as _fut
+
+    backend = jax.default_backend()  # init the client HERE: enumeration
+    # works even on a wedged epoch, and the error path below must not
+    # block on an init lock the stuck probe thread holds
+
+    def _probe():
+        import numpy as _np
+
+        return float(_np.asarray(jax.device_put(_np.ones((8,), _np.float32))).sum())
+
+    ex = _fut.ThreadPoolExecutor(1)
+    try:
+        ex.submit(_probe).result(timeout=180)
+    except _fut.TimeoutError:
+        print(json.dumps({
+            "metric": "file_rtf_batched",
+            "value": None,
+            "error": "device runtime unresponsive: transfer probe hung "
+                     ">180 s (wedged epoch) — no measurement possible",
+            "backend": backend,
+        }), flush=True)
+        os._exit(3)  # the probe thread is stuck in C; no clean join
+    ex.shutdown(wait=False)
+
     quick = "--quick" in sys.argv  # tiny model, for CI-style smoke runs
     quant = (
         "int8-decoder-a8" if "--int8-decoder-a8" in sys.argv

@@ -6,8 +6,14 @@ B5 and §2.8):
 
 - decisions every `process_window` chunks (10 x 64 ms = 640 ms);
 - dynamic threshold: starts at 0.3; +0.1 on speech start; +0.03 per window
-  while speech continues; reset to 0.3 on speech end; clamped [0.3, 0.9];
-- hysteresis: speech/silence counters capped at `smoothing_window` (2);
+  while speech continues (i.e. while speech_count > 0 — including a silent
+  window whose decayed speech_count is still positive,
+  vad_processor_manager.py:142-151); reset to 0.3 on speech end; clamped
+  [0.3, 0.9];
+- hysteresis: speech/silence counters capped at `smoothing_window` (2), and
+  the OPPOSING counter decays by 1 per window (`max(0, count-1)`,
+  vad_processor_manager.py:110,114 — NOT reset to zero; identical end
+  behavior at the default window of 2, divergent for >= 3);
   speech STARTS when speech_count >= 1, ENDS when silence_count >= 2;
 - on start, the segment is backdated to the first chunk of the deciding
   window (vad_processor_manager.py:126-128).
@@ -71,12 +77,16 @@ class VadGate:
 
         if active:
             self.speech_count = min(self.speech_count + 1, cfg.smoothing_window)
-            self.silence_count = 0
+            # opposing counter DECAYS (max(0, n-1)), matching the reference
+            # exactly (vad_processor_manager.py:110,114); a reset-to-zero
+            # variant is end-identical at smoothing_window=2 but diverges
+            # for >= 3, which /vad/config accepts
+            self.silence_count = max(0, self.silence_count - 1)
             if self.is_speaking and prev_silence > 0:
                 ev.resumed = True
         else:
             self.silence_count = min(self.silence_count + 1, cfg.smoothing_window)
-            self.speech_count = 0
+            self.speech_count = max(0, self.speech_count - 1)
             if (
                 self.is_speaking
                 and prev_silence == 0
@@ -91,7 +101,10 @@ class VadGate:
             self.threshold = min(
                 self.threshold + cfg.start_boost, cfg.max_threshold
             )
-        elif self.is_speaking and active:
+        elif self.is_speaking and self.speech_count > 0:
+            # continue-boost keyed to the decayed speech counter, not to the
+            # instantaneous window: it keeps firing through a silent window
+            # whose speech_count is still positive (reference :142-151)
             self.threshold = min(
                 self.threshold + cfg.continue_boost, cfg.max_threshold
             )

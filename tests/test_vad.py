@@ -162,6 +162,71 @@ class TestVadGate:
         ev = g.update(0.99, first_chunk_id=42, last_chunk_id=51)
         assert ev.speech_start_chunk == 42
 
+    def test_counter_decay_matches_reference_at_window_3(self):
+        """State-trajectory parity vs a direct transliteration of the
+        reference's counter/threshold updates (vad_processor_manager.py:
+        107-165) at smoothing_window=3 — the regime where counter DECAY
+        (max(0, n-1)) and RESET-to-zero semantics diverge (/vad/config
+        accepts window >= 3, so the non-default path must match too)."""
+
+        class RefTwin:
+            def __init__(self, window):
+                self.window = window
+                self.speech_count = 0
+                self.silence_count = 0
+                self.is_speaking = False
+                self.threshold = 0.3
+
+            def update(self, prob):
+                changed = False
+                if prob >= self.threshold:
+                    self.speech_count = min(self.speech_count + 1, self.window)
+                    self.silence_count = max(0, self.silence_count - 1)
+                else:
+                    self.silence_count = min(self.silence_count + 1, self.window)
+                    self.speech_count = max(0, self.speech_count - 1)
+                if not self.is_speaking and self.speech_count >= 1:
+                    self.is_speaking = True
+                    changed = True
+                    self.threshold = min(self.threshold + 0.1, 0.9)
+                elif self.is_speaking and self.speech_count > 0:
+                    self.threshold = min(self.threshold + 0.1 * 0.3, 0.9)
+                elif self.is_speaking and self.silence_count >= self.window:
+                    self.is_speaking = False
+                    changed = True
+                    self.threshold = 0.3
+                return changed
+
+        for window in (2, 3, 4):
+            g = VadGate(VadGateConfig(smoothing_window=window))
+            ref = RefTwin(window)
+            rng = np.random.default_rng(window)
+            # bursty pattern: runs of speech-ish / silence-ish windows,
+            # including single-window blips that exercise the decay
+            probs = []
+            for _ in range(40):
+                lvl = rng.choice([0.05, 0.95])
+                probs.extend([float(lvl)] * int(rng.integers(1, 4)))
+            for i, p in enumerate(probs):
+                ev = g.update(p, 10 * i, 10 * i + 9)
+                changed = ref.update(p)
+                assert ev.state_changed == changed, (window, i)
+                assert g.is_speaking == ref.is_speaking, (window, i)
+                assert g.speech_count == ref.speech_count, (window, i)
+                assert g.silence_count == ref.silence_count, (window, i)
+                assert g.threshold == pytest.approx(ref.threshold), (window, i)
+
+    def test_continue_boost_on_silent_window_with_decayed_count(self):
+        """Reference :142-151: the continue-boost keys on speech_count > 0,
+        so it fires on a silent window whose decayed count is positive."""
+        g = VadGate()
+        g.update(0.99, 0, 9)   # start: 0.3 -> 0.4
+        g.update(0.99, 10, 19)  # continue: -> 0.43
+        g.update(0.0, 20, 29)   # silent, but speech_count 2->1 > 0: -> 0.46
+        assert g.threshold == pytest.approx(0.46)
+        ev = g.update(0.0, 30, 39)  # speech_count 0, silence_count 2: end
+        assert ev.state_changed and not g.is_speaking
+
 
 class TestSileroUpstreamParity:
     """Probability parity vs the real upstream checkpoint. The environment

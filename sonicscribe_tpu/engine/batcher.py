@@ -1035,6 +1035,11 @@ class BatchedEngine:
         )
         self._task: Optional[asyncio.Task] = None
         self._running = False
+        # set ONLY by the scheduler's crash handler: distinguishes a wedged-
+        # device crash (alive=False, /health 'degraded') from a graceful
+        # stop()/shutdown() (alive stays True — a cleanly stopped engine is
+        # not a liveness failure)
+        self._crashed = False
         # previous tick's unresolved device handles (pipelined scheduling)
         self._pending_results: Optional[dict] = None
         # overflow requests a full pool couldn't admit this tick
@@ -1169,12 +1174,13 @@ class BatchedEngine:
 
     @property
     def alive(self) -> bool:
-        """False once the scheduler has crashed (e.g. the tick-stall abort
+        """False once the scheduler has CRASHED (e.g. the tick-stall abort
         on a wedged device runtime) — /health surfaces this as 'degraded'
         so a supervisor's liveness probe can trigger the restart that is
-        the actual remedy. True before first start (lazy start is
-        healthy)."""
-        return self._task is None or not self._task.done()
+        the actual remedy. True before first start (lazy start is healthy)
+        and after a graceful stop()/shutdown(): a clean stop is not a
+        liveness failure and must not look like a wedged device."""
+        return not self._crashed
 
     # ---------------- public async interface ----------------
 
@@ -1257,7 +1263,15 @@ class BatchedEngine:
         floated 265-334 ms); spreading the cohort over eight 125 ms phases
         within the same >= 1 s cadence de-synchronizes the waves. Returns
         0.0 — no UX cost — unless live streams could fill half the short
-        pool in one wave."""
+        pool in one wave.
+
+        Deliberately keyed to the INSTANTANEOUS live count, re-read at each
+        speech start (not latched per stream at alloc time): a latch would
+        freeze the early-allocated half of a growing cohort at phase 0 —
+        exactly the streams that later need spreading. The cost is that a
+        stream's phase can flip between utterances as the cohort crosses
+        the half-pool threshold; within one utterance the phase is fixed
+        (session reads it once per speech start)."""
         if not self.stagger_interims:
             return 0.0
         live = self.N_STREAMS - len(self._free_streams)
@@ -2420,6 +2434,14 @@ class BatchedEngine:
                             except asyncio.TimeoutError:
                                 waited += self.tick_stall_dump_s
                                 if waited >= self.tick_stall_abort_s:
+                                    # retrieve the abandoned tick's eventual
+                                    # result silently: when the wedged fetch
+                                    # thread finally returns/raises, asyncio
+                                    # would otherwise log 'exception was
+                                    # never retrieved' into a dead engine
+                                    fut.add_done_callback(
+                                        lambda f: f.exception()
+                                    )
                                     raise RuntimeError(
                                         f"device fetch wedged > {waited:.0f}"
                                         " s — abandoning the engine; "
@@ -2452,6 +2474,7 @@ class BatchedEngine:
         except asyncio.CancelledError:
             pass
         except Exception:
+            self._crashed = True
             logger.exception("batcher scheduler crashed")
             exc = RuntimeError("batcher crashed")
             for pool in self.pools:

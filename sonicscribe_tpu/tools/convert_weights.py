@@ -599,6 +599,13 @@ def convert_hf_checkpoint(
         if k in want and tuple(flat[k].shape) != want[k]
     ]
     shape_errors += [f"{k}: missing from conversion" for k in want if k not in flat]
+    # symmetric check: a converted leaf the model does NOT expect (e.g. a
+    # typoed custom name_map entry) would otherwise pass unvalidated and
+    # silently produce an extra tree leaf
+    shape_errors += [
+        f"{k}: converted but not expected by the model (typoed name_map "
+        f"entry?)" for k in flat if k not in want
+    ]
     if shape_errors:
         raise ValueError(
             "converted tensors do not match the model's expected shapes "

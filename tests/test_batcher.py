@@ -529,6 +529,23 @@ class TestStallAbort:
 
         assert _run(go()) == "failed"
 
+    def test_graceful_shutdown_is_not_degraded(self, stack):
+        """alive must stay True after a clean stop: /health's 'degraded'
+        state means a wedged-device crash needing a supervisor restart,
+        and a graceful shutdown must be distinguishable from it."""
+        cfg, tr = stack
+        audio = _audio(0.3, seed=7)
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=2, max_decode_tokens=16)
+            await eng.transcribe(audio, SR, max_new_tokens=4)
+            assert eng.alive is True
+            eng.shutdown()
+            await asyncio.sleep(0.05)  # let the scheduler task wind down
+            assert eng.alive is True  # stopped, not crashed
+
+        _run(go())
+
 
 class TestShutdownCleanliness:
     def test_shutdown_fails_inflight_requests(self, stack):

@@ -6,7 +6,24 @@ artifact recorded `parsed: null`, VERDICT r3 weak #1):
   {"metric": "file_rtf_batched", "value": <rtf>, "unit": "ratio",
    "vs_baseline": <0.02 / rtf>, ...north-star numbers only}
 The full detail dict (per-run spreads, warmup phases, per-quant-mode
-fields) is written to BENCH_DETAIL.json at the repo root instead.
+fields) is written to BENCH_DETAIL.json at the repo root instead. Non-default
+runs (quant flags, --quick, --no-streams) write BENCH_DETAIL_<tag>.json so a
+side run can never clobber the headline's detail companion (VERDICT r4 #7).
+
+Resilience (VERDICT r4 #1 — two consecutive rounds lost their official
+headline to the tunneled runtime): the measurement now survives a sick epoch.
+- A bounded probe-RETRY preflight (tools/bench_resilience.wait_for_device):
+  probe, wait, re-init the backend (`clear_backends`), re-probe — a single
+  hung transfer no longer declares the epoch dead. Probes are spaced minutes
+  apart because each abandoned hung probe is a dead session the wedged
+  runtime holds.
+- The file phase and the stream phase run in SUBPROCESSES with bounded
+  waits: a mid-run wedge in the stream phase can no longer zero the file
+  number that already completed. A timed-out child is ABANDONED, never
+  killed (killing a chip-attached process wedges the runtime for hours).
+- A partial headline ("partial": true) is printed the moment the file phase
+  completes; the final headline supersedes it and is printed even when the
+  stream phase is lost (with `stream_error` and a non-null value).
 
 The north-star targets (BASELINE.json — the reference publishes no numbers):
 file RTF <= 0.02, p50 interim latency < 300 ms. vs_baseline > 1.0 means the
@@ -16,67 +33,71 @@ every run decodes the full token budget, the worst case).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 
-def main():
-    import os
+PASSTHROUGH_FLAGS = (
+    "--quick", "--cpu", "--int8", "--int8-decoder", "--int8-decoder-a8",
+    "--energy-vad", "--no-int8", "--no-streams",
+)
 
-    import jax
-    import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-        ),
-    )
+def _flags() -> list:
+    return [a for a in sys.argv[1:] if a in PASSTHROUGH_FLAGS]
 
-    from sonicscribe_tpu.engine.transcriber import Transcriber
-    from sonicscribe_tpu.models import nano, tiny
-    from sonicscribe_tpu.models.glm_asr import init_params, param_count
-    from sonicscribe_tpu.models.tokenizer import ByteTokenizer
 
-    # bounded device-liveness preflight: a wedged device runtime (observed
-    # r4: transfers hang indefinitely after sustained load) would otherwise
-    # hang before ANY output, leaving the driver's artifact empty. A dead
-    # probe prints a parseable headline with the error and exits.
-    import concurrent.futures as _fut
-
-    backend = jax.default_backend()  # init the client HERE: enumeration
-    # works even on a wedged epoch, and the error path below must not
-    # block on an init lock the stuck probe thread holds
-
-    def _probe():
-        import numpy as _np
-
-        return float(_np.asarray(jax.device_put(_np.ones((8,), _np.float32))).sum())
-
-    ex = _fut.ThreadPoolExecutor(1)
-    try:
-        ex.submit(_probe).result(timeout=180)
-    except _fut.TimeoutError:
-        print(json.dumps({
-            "metric": "file_rtf_batched",
-            "value": None,
-            "error": "device runtime unresponsive: transfer probe hung "
-                     ">180 s (wedged epoch) — no measurement possible",
-            "backend": backend,
-        }), flush=True)
-        os._exit(3)  # the probe thread is stuck in C; no clean join
-    ex.shutdown(wait=False)
-
-    quick = "--quick" in sys.argv  # tiny model, for CI-style smoke runs
-    quant = (
+def _quant() -> str:
+    return (
         "int8-decoder-a8" if "--int8-decoder-a8" in sys.argv
         else "int8-decoder" if "--int8-decoder" in sys.argv
         else "int8" if "--int8" in sys.argv
         else "native"
     )
+
+
+def _detail_path() -> str:
+    """BENCH_DETAIL.json for the default full run; a tagged sibling for any
+    flagged side run, so side benches never clobber the headline's detail."""
+    tags = []
+    if _quant() != "native":
+        tags.append(_quant())
+    if "--quick" in sys.argv:
+        tags.append("quick")
+    if "--no-streams" in sys.argv:
+        tags.append("nostreams")
+    if "--energy-vad" in sys.argv:
+        tags.append("energyvad")
+    name = "BENCH_DETAIL" + ("_" + "_".join(tags) if tags else "") + ".json"
+    return os.path.join(REPO, name)
+
+
+def _init_jax():
+    import jax
+
+    if "--cpu" in sys.argv:  # CI/smoke: force CPU in-process (env is pinned)
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")
+        ),
+    )
+    return jax
+
+
+def _build(quant: str, quick: bool):
+    """(cfg, params, tokenizer, no_eos_bias) for the benchmark model."""
+    import jax
+    import jax.numpy as jnp
+
+    from sonicscribe_tpu.models import nano, tiny
+    from sonicscribe_tpu.models.glm_asr import init_params
+    from sonicscribe_tpu.models.tokenizer import ByteTokenizer
 
     cfg = tiny() if quick else nano()
     dtype = jnp.float32 if quick else jnp.bfloat16
@@ -88,21 +109,39 @@ def main():
         if quant == "int8-decoder-a8":
             from dataclasses import replace
 
-            cfg = replace(
-                cfg, decoder=replace(cfg.decoder, act_int8_decode=True)
-            )
+            cfg = replace(cfg, decoder=replace(cfg.decoder, act_int8_decode=True))
     tokenizer = ByteTokenizer(cfg)
+    # suppress EOS (and pad, which truncates host-side) so greedy always
+    # decodes the full budget — the worst case, asserted below
+    no_eos = np.zeros((cfg.decoder.vocab_size,), np.float32)
+    no_eos[cfg.eos_id] = -1e9
+    no_eos[cfg.pad_id] = -1e9
+    return cfg, params, tokenizer, no_eos
+
+
+# ---------------------------------------------------------------------------
+# phase children: each runs in its own subprocess, writes JSON to --out
+# ---------------------------------------------------------------------------
+
+
+def run_file_phase(out_path: str) -> None:
+    """Single-stream RTF/interim latency + the batched file-endpoint RTF
+    (the headline metric)."""
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from sonicscribe_tpu.engine.transcriber import Transcriber
+    from sonicscribe_tpu.models.glm_asr import param_count
+
+    quick = "--quick" in sys.argv
+    quant = _quant()
+    cfg, params, tokenizer, no_eos = _build(quant, quick)
 
     file_bucket = 256 if quick else 3072  # 30 s of mel frames
     interim_bucket = 128  # 1.28 s interim window
     tr = Transcriber(
         cfg, params, tokenizer, prefill_buckets=(interim_bucket, file_bucket)
     )
-    # suppress EOS (and pad, which truncates host-side) so greedy always
-    # decodes the full budget — the worst case, asserted below
-    no_eos = np.zeros((cfg.decoder.vocab_size,), np.float32)
-    no_eos[cfg.eos_id] = -1e9
-    no_eos[cfg.pad_id] = -1e9
     tr._zero_bias = jnp.asarray(no_eos)
 
     sr = 16000
@@ -156,7 +195,7 @@ def main():
     tr_b = Transcriber(cfg, params, tokenizer, prefill_buckets=(seg_bucket,))
     tr_b._zero_bias = jnp.asarray(no_eos)
     # slots match the segment count: decode-step cost scales with total cache
-    # rows read, so oversizing the slot pool directly taxes file RTF
+    # rows read, so oversizing the slot pool directly taxes file RTF.
     # pure-batch workload: only the long pool is ever active, so skip the
     # fused dual-pool program compiles in warmup
     engine = BatchedEngine(tr_b, EnergyVad(), slots=n_seg,
@@ -199,187 +238,8 @@ def main():
     batched_rtf = dt / (n_seg * seg_seconds)
     single_engine_rtf = single_dt / seg_seconds
 
-    # file-phase headline NOW: if the tunnel wedges during the stream phase
-    # (observed r4: device fetches hanging >60 s after sustained load) the
-    # process hangs until the driver's timeout and would otherwise record
-    # nothing — this line keeps the primary metric in the captured tail
-    print(json.dumps({
-        "metric": "file_rtf_batched",
+    result = {
         "value": round(batched_rtf, 5),
-        "unit": "ratio",
-        "vs_baseline": round(0.02 / batched_rtf, 3),
-        "quant": quant,
-        "phase": "file-only (stream phase follows; its headline "
-                 "supersedes this line)",
-    }), flush=True)
-
-    # ---- realtime multi-stream serving (north-star metric #1):
-    # N concurrent 64 ms-chunk sessions through the device audio ring +
-    # continuous batcher, realtime-paced, measuring tentative latency ----
-    stream_metrics = {}
-    if "--no-streams" not in sys.argv:
-        from sonicscribe_tpu.config import AppConfig
-        from sonicscribe_tpu.tools.loadtest import run_load
-
-        def make_stream_vad():
-            """The headline bench prices the REAL gate by default (VERDICT
-            r2 item 3): converted Silero weights when available, else the
-            cost-probe (full Silero v5 forward for device cost, EnergyVad
-            decisions so the synthetic cycles segment correctly).
-            --energy-vad is the DSP-gate escape hatch."""
-            if "--energy-vad" in sys.argv:
-                return EnergyVad(), "energy"
-            w = os.environ.get("SILERO_WEIGHTS", "")
-            if w and os.path.exists(w):
-                from sonicscribe_tpu.tools.convert_silero import load_npz
-                from sonicscribe_tpu.vad.model import SileroVad
-
-                return SileroVad(params=load_npz(w)), "silero-converted"
-            from sonicscribe_tpu.vad.model import SileroCostProbeVad
-
-            return SileroCostProbeVad(), "silero-cost-probe"
-
-        def stream_run(stream_params, suffix):
-            """One 50-stream realtime load; suffix tags the metric names."""
-            n_streams = 4 if quick else 50
-            tr_s = Transcriber(
-                cfg, params if stream_params is None else stream_params,
-                tokenizer,
-                prefill_buckets=(128, 512),  # interim + final buckets only
-            )
-            # dedicated (natural) cache shapes: the stream engine's shorter
-            # prompts make every decode step read far less KV cache; the
-            # persistent compile cache amortizes the extra program set
-            # (a slots=n_streams variant measured no committed-latency win —
-            # finals are bounded by ticks-per-final, not slot waves — and a
-            # worse interim tail; 32 is the balanced size)
-            vad, vad_kind = make_stream_vad()
-            s_engine = BatchedEngine(
-                tr_s, vad, slots=4 if quick else 32,
-                max_decode_tokens=200, base_logit_bias=no_eos,
-            )
-            # the shipped boot path (--warmup-fast): block only on the
-            # critical subset, then drain the deferred compile + replay
-            # work before the measured windows so they read steady state.
-            # warmup_s is boot-to-serving; the drain is recorded separately
-            # (it overlaps live traffic in production — idle-tick replays).
-            t_w = time.perf_counter()
-            s_engine.warmup(fast=True)
-            warmup_s = time.perf_counter() - t_w
-            s_engine.warmup_join()
-            s_engine.drain_replays()
-            settle_s = time.perf_counter() - t_w - warmup_s
-            app_cfg = AppConfig()
-            loop2 = asyncio.new_event_loop()
-            loop2.run_until_complete(  # absorb scheduling warm-in
-                run_load(s_engine, app_cfg, n_streams, 8.0, realtime=True)
-            )
-            # best-of-2 measured windows: a single 12 s window holds only
-            # ~12 interim waves, and the shared tunneled chip drifts up to
-            # ~1.5x between same-day runs (same-engine eager A/B read p50
-            # 243-297 ms across four back-to-back windows) — min-of-N is
-            # the standard noise-floor estimator; BOTH readings are
-            # recorded so the artifact shows the spread.
-            m_runs = [
-                loop2.run_until_complete(
-                    run_load(s_engine, app_cfg, n_streams, 12.0, realtime=True)
-                )
-                for _ in range(2)
-            ]
-            # committed latency on the utterance-realistic cycle (the
-            # default 2.0/1.5 cycle's drifting phase produces ~16 s
-            # segments with 130-token finals — the worst case; 2.56 s of
-            # silence ends every 2 s utterance at ~70-token budgets)
-            mu_runs = [
-                loop2.run_until_complete(
-                    run_load(s_engine, app_cfg, n_streams, 12.0, realtime=True,
-                             silence_s=2.56)
-                )
-                for _ in range(2)
-            ]
-            s_engine.shutdown()
-            loop2.close()
-
-            # per-METRIC best across the two windows (VERDICT r3 weak #6:
-            # keying the whole block to the best-INTERIM run headlined the
-            # worst committed epoch); the _runs arrays keep the spread
-            def best(runs, key, agg=min):
-                vals = [r.get(key) for r in runs if r.get(key) is not None]
-                return agg(vals) if vals else None
-
-            return {
-                "realtime_streams": n_streams,
-                "stream_vad": vad_kind,
-                f"stream_interim_p50_ms{suffix}": best(m_runs, "interim_p50_ms"),
-                f"stream_interim_p95_ms{suffix}": best(m_runs, "interim_p95_ms"),
-                f"stream_committed{suffix}": best(m_runs, "committed_count", max),
-                f"stream_committed_p50_ms{suffix}": best(
-                    m_runs, "committed_p50_ms"
-                ),
-                f"stream_committed_utterance_p50_ms{suffix}": best(
-                    mu_runs, "committed_p50_ms"
-                ),
-                f"stream_committed_utterance_p95_ms{suffix}": best(
-                    mu_runs, "committed_p95_ms"
-                ),
-                # worst across windows: this is a health check, not a speed
-                f"stream_ingest_lag_s{suffix}": best(
-                    m_runs, "max_ingest_lag_s", max
-                ),
-                f"stream_interim_p50_ms_runs{suffix}": [
-                    r["interim_p50_ms"] for r in m_runs
-                ],
-                f"stream_committed_p50_ms_runs{suffix}": [
-                    r.get("committed_p50_ms") for r in m_runs
-                ],
-                f"stream_committed_utterance_p50_ms_runs{suffix}": [
-                    r.get("committed_p50_ms") for r in mu_runs
-                ],
-                f"stream_warmup_s{suffix}": round(warmup_s, 1),
-                f"stream_settle_s{suffix}": round(settle_s, 1),
-                f"stream_warmup_phases{suffix}": s_engine.stats.get(
-                    "warmup_phase_s"
-                ),
-            }
-
-        try:
-            stream_metrics = stream_run(None, "")
-        except Exception as e:  # keep the primary metric robust
-            stream_metrics = {"stream_error": str(e)[:200]}
-        # int8 weight-only serving as a first-class recorded variant (the
-        # reference ships an int8 mode, backend/asr.py:148-210), plus the
-        # TPU-native 'int8-decoder' mixed mode: decode-only quantization —
-        # int8 helps only where weight-bandwidth-bound, and full int8's
-        # slower compute-bound prefill is what regressed committed latency
-        # (see ops/quant.py rationale)
-        if not quick and quant == "native" and "--no-int8" not in sys.argv:
-            from sonicscribe_tpu.ops.quant import quantize_params_int8
-
-            try:
-                stream_metrics.update(
-                    stream_run(quantize_params_int8(params), "_int8")
-                )
-            except Exception as e:
-                stream_metrics["stream_int8_error"] = str(e)[:200]
-            try:
-                stream_metrics.update(
-                    stream_run(
-                        quantize_params_int8(params, decoder_only=True),
-                        "_int8dec",
-                    )
-                )
-            except Exception as e:
-                stream_metrics["stream_int8dec_error"] = str(e)[:200]
-
-    from sonicscribe_tpu.tools.loadtest import compile_probe_s, tunnel_rtt_ms
-
-    detail = {
-        "metric": "file_rtf_batched",
-        "value": round(batched_rtf, 5),
-        "unit": "ratio",
-        "vs_baseline": round(0.02 / batched_rtf, 3),
-        "tunnel_rtt_ms": tunnel_rtt_ms(),
-        "compile_probe_s": compile_probe_s(),
         "single_stream_rtf_30s": round(rtf, 5),
         "file_single_segment_engine_rtf": round(single_engine_rtf, 5),
         "file_single_segment_engine_wall_s": round(single_dt, 2),
@@ -388,34 +248,214 @@ def main():
         "batched_segments": n_seg,
         "batched_audio_seconds": round(n_seg * seg_seconds, 1),
         "model_params": param_count(params),
-        "quant": quant,
         "backend": jax.default_backend(),
-        **stream_metrics,
     }
-    repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1)
+    with open(out_path, "w") as f:
+        json.dump(result, f)
 
-    # compact headline LAST (the driver records a bounded output tail;
-    # the full-detail line overflowed it in r3 and parsed as null)
+
+def run_stream_phase(out_path: str) -> None:
+    """Realtime multi-stream serving (north-star metric #1): N concurrent
+    64 ms-chunk sessions through the device audio ring + continuous batcher,
+    realtime-paced, measuring tentative latency."""
+    _init_jax()
+    import asyncio
+
+    from sonicscribe_tpu.config import AppConfig
+    from sonicscribe_tpu.engine.batcher import BatchedEngine
+    from sonicscribe_tpu.engine.transcriber import Transcriber
+    from sonicscribe_tpu.tools.loadtest import (
+        compile_probe_s,
+        run_load,
+        tunnel_rtt_ms,
+    )
+    from sonicscribe_tpu.vad.model import EnergyVad
+
+    quick = "--quick" in sys.argv
+    quant = _quant()
+    cfg, params, tokenizer, no_eos = _build(quant, quick)
+    import jax.numpy as jnp
+
+    no_eos_dev = jnp.asarray(no_eos)
+
+    def make_stream_vad():
+        """The headline bench prices the REAL gate by default (VERDICT r2
+        item 3): converted Silero weights when available, else the
+        cost-probe (full Silero v5 forward for device cost, EnergyVad
+        decisions so the synthetic cycles segment correctly).
+        --energy-vad is the DSP-gate escape hatch."""
+        if "--energy-vad" in sys.argv:
+            return EnergyVad(), "energy"
+        w = os.environ.get("SILERO_WEIGHTS", "")
+        if w and os.path.exists(w):
+            from sonicscribe_tpu.tools.convert_silero import load_npz
+            from sonicscribe_tpu.vad.model import SileroVad
+
+            return SileroVad(params=load_npz(w)), "silero-converted"
+        from sonicscribe_tpu.vad.model import SileroCostProbeVad
+
+        return SileroCostProbeVad(), "silero-cost-probe"
+
+    def stream_run(stream_params, suffix):
+        """One 50-stream realtime load; suffix tags the metric names."""
+        n_streams = 4 if quick else 50
+        tr_s = Transcriber(
+            cfg, params if stream_params is None else stream_params,
+            tokenizer,
+            prefill_buckets=(128, 512),  # interim + final buckets only
+        )
+        # dedicated (natural) cache shapes: the stream engine's shorter
+        # prompts make every decode step read far less KV cache; the
+        # persistent compile cache amortizes the extra program set
+        # (a slots=n_streams variant measured no committed-latency win —
+        # finals are bounded by ticks-per-final, not slot waves — and a
+        # worse interim tail; 32 is the balanced size)
+        vad, vad_kind = make_stream_vad()
+        s_engine = BatchedEngine(
+            tr_s, vad, slots=4 if quick else 32,
+            max_decode_tokens=200, base_logit_bias=no_eos_dev,
+        )
+        # the shipped boot path (--warmup-fast): block only on the
+        # critical subset, then drain the deferred compile + replay
+        # work before the measured windows so they read steady state.
+        # warmup_s is boot-to-serving; the drain is recorded separately
+        # (it overlaps live traffic in production — idle-tick replays).
+        t_w = time.perf_counter()
+        s_engine.warmup(fast=True)
+        warmup_s = time.perf_counter() - t_w
+        s_engine.warmup_join()
+        s_engine.drain_replays()
+        settle_s = time.perf_counter() - t_w - warmup_s
+        app_cfg = AppConfig()
+        loop2 = asyncio.new_event_loop()
+        loop2.run_until_complete(  # absorb scheduling warm-in
+            run_load(s_engine, app_cfg, n_streams, 8.0, realtime=True)
+        )
+        # best-of-2 measured windows: a single 12 s window holds only
+        # ~12 interim waves, and the shared tunneled chip drifts up to
+        # ~1.5x between same-day runs (same-engine eager A/B read p50
+        # 243-297 ms across four back-to-back windows) — min-of-N is
+        # the standard noise-floor estimator; BOTH readings are
+        # recorded so the artifact shows the spread.
+        m_runs = [
+            loop2.run_until_complete(
+                run_load(s_engine, app_cfg, n_streams, 12.0, realtime=True)
+            )
+            for _ in range(2)
+        ]
+        # committed latency on the utterance-realistic cycle (the
+        # default 2.0/1.5 cycle's drifting phase produces ~16 s
+        # segments with 130-token finals — the worst case; 2.56 s of
+        # silence ends every 2 s utterance at ~70-token budgets)
+        mu_runs = [
+            loop2.run_until_complete(
+                run_load(s_engine, app_cfg, n_streams, 12.0, realtime=True,
+                         silence_s=2.56)
+            )
+            for _ in range(2)
+        ]
+        s_engine.shutdown()
+        loop2.close()
+
+        # per-METRIC best across the two windows (VERDICT r3 weak #6:
+        # keying the whole block to the best-INTERIM run headlined the
+        # worst committed epoch); the _runs arrays keep the spread
+        def best(runs, key, agg=min):
+            vals = [r.get(key) for r in runs if r.get(key) is not None]
+            return agg(vals) if vals else None
+
+        return {
+            "realtime_streams": n_streams,
+            "stream_vad": vad_kind,
+            f"stream_interim_p50_ms{suffix}": best(m_runs, "interim_p50_ms"),
+            f"stream_interim_p95_ms{suffix}": best(m_runs, "interim_p95_ms"),
+            f"stream_committed{suffix}": best(m_runs, "committed_count", max),
+            f"stream_committed_p50_ms{suffix}": best(m_runs, "committed_p50_ms"),
+            f"stream_committed_utterance_p50_ms{suffix}": best(
+                mu_runs, "committed_p50_ms"
+            ),
+            f"stream_committed_utterance_p95_ms{suffix}": best(
+                mu_runs, "committed_p95_ms"
+            ),
+            # worst across windows: this is a health check, not a speed
+            f"stream_ingest_lag_s{suffix}": best(m_runs, "max_ingest_lag_s", max),
+            f"stream_interim_p50_ms_runs{suffix}": [
+                r["interim_p50_ms"] for r in m_runs
+            ],
+            f"stream_committed_p50_ms_runs{suffix}": [
+                r.get("committed_p50_ms") for r in m_runs
+            ],
+            f"stream_committed_utterance_p50_ms_runs{suffix}": [
+                r.get("committed_p50_ms") for r in mu_runs
+            ],
+            f"stream_warmup_s{suffix}": round(warmup_s, 1),
+            f"stream_settle_s{suffix}": round(settle_s, 1),
+            f"stream_warmup_phases{suffix}": s_engine.stats.get("warmup_phase_s"),
+        }
+
+    try:
+        stream_metrics = stream_run(None, "")
+    except Exception as e:  # keep the primary metric robust
+        stream_metrics = {"stream_error": str(e)[:200]}
+    # int8 weight-only serving as a first-class recorded variant (the
+    # reference ships an int8 mode, backend/asr.py:148-210), plus the
+    # TPU-native 'int8-decoder' mixed mode: decode-only quantization —
+    # int8 helps only where weight-bandwidth-bound, and full int8's
+    # slower compute-bound prefill is what regressed committed latency
+    # (see ops/quant.py rationale)
+    if not quick and quant == "native" and "--no-int8" not in sys.argv:
+        from sonicscribe_tpu.ops.quant import quantize_params_int8
+
+        try:
+            stream_metrics.update(
+                stream_run(quantize_params_int8(params), "_int8")
+            )
+        except Exception as e:
+            stream_metrics["stream_int8_error"] = str(e)[:200]
+        try:
+            stream_metrics.update(
+                stream_run(
+                    quantize_params_int8(params, decoder_only=True), "_int8dec"
+                )
+            )
+        except Exception as e:
+            stream_metrics["stream_int8dec_error"] = str(e)[:200]
+
+    stream_metrics["tunnel_rtt_ms"] = tunnel_rtt_ms()
+    stream_metrics["compile_probe_s"] = compile_probe_s()
+    with open(out_path, "w") as f:
+        json.dump(stream_metrics, f)
+
+
+# ---------------------------------------------------------------------------
+# parent: preflight-with-retry, phase subprocesses, headline assembly
+# ---------------------------------------------------------------------------
+
+
+def assemble_headline(file_result: dict, stream_metrics: dict, quant: str) -> dict:
+    """The compact final headline (pure; unit-tested). `value` comes from
+    the file phase and is non-null whenever that phase completed — a lost
+    stream phase degrades to `stream_error`, never to a null headline."""
+    batched_rtf = file_result["value"]
+
     def grab(base):
         # the unsuffixed run used THIS process's quant mode (only a native
         # run adds the _int8/_int8dec variants, so labeling it 'native'
         # would attribute quantized numbers to the wrong mode)
         return {
-            s or quant: detail.get(f"{base}{s and '_' + s}")
+            s or quant: stream_metrics.get(f"{base}{s and '_' + s}")
             for s in ("", "int8", "int8dec")
-            if f"{base}{s and '_' + s}" in detail
+            if f"{base}{s and '_' + s}" in stream_metrics
         }
 
     headline = {
         "metric": "file_rtf_batched",
-        "value": round(batched_rtf, 5),
+        "value": batched_rtf,
         "unit": "ratio",
         "vs_baseline": round(0.02 / batched_rtf, 3),
-        "single_stream_rtf_30s": round(rtf, 5),
-        "p50_interim_ms": round(p50_interim_ms, 1),
-        "decode_tok_s": round(decode_tps, 1),
+        "single_stream_rtf_30s": file_result.get("single_stream_rtf_30s"),
+        "p50_interim_ms": file_result.get("p50_interim_ms"),
+        "decode_tok_s": file_result.get("decode_tokens_per_s_single_stream"),
         "streams": stream_metrics.get("realtime_streams"),
         "stream_vad": stream_metrics.get("stream_vad"),
         "interim_p50_ms": grab("stream_interim_p50_ms"),
@@ -423,13 +463,131 @@ def main():
         "committed_utt_p50_ms": grab("stream_committed_utterance_p50_ms"),
         "warmup_s": grab("stream_warmup_s"),
         "quant": quant,
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(_detail_path()),
     }
     for k in ("stream_error", "stream_int8_error", "stream_int8dec_error"):
         if k in stream_metrics:
             headline[k] = stream_metrics[k]
+    return headline
+
+
+def main():
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+        out = sys.argv[sys.argv.index("--out") + 1]
+        {"file": run_file_phase, "stream": run_stream_phase}[phase](out)
+        return
+
+    from sonicscribe_tpu.tools import bench_resilience as br
+
+    quick = "--quick" in sys.argv
+    quant = _quant()
+
+    def env_f(name, default):
+        return float(os.environ.get(name, default))
+
+    # ---- preflight: bounded probe retry + backend re-init ----
+    hung = 0
+    if "--cpu" not in sys.argv:
+        jax = _init_jax()
+        backend = jax.default_backend()  # init the client HERE: enumeration
+        # works even on a wedged epoch, and the error path below must not
+        # block on an init lock a stuck probe thread holds
+        pre = br.wait_for_device(
+            attempts=int(env_f("BENCH_PROBE_ATTEMPTS", 3)),
+            timeout_s=env_f("BENCH_PROBE_TIMEOUT_S", 120),
+            spacing_s=env_f("BENCH_PROBE_SPACING_S", 240),
+        )
+        hung = pre["hung_probes"]
+        if not pre["ok"]:
+            print(json.dumps({
+                "metric": "file_rtf_batched",
+                "value": None,
+                "error": "device runtime unresponsive after "
+                         f"{len(pre['attempts'])} probes over "
+                         f"{pre['waited_s']} s (wedged epoch) — no "
+                         "measurement possible",
+                "preflight": pre,
+                "backend": backend,
+            }), flush=True)
+            os._exit(3)  # hung probe threads are stuck in C; no clean join
+
+    flags = _flags()
+    script = os.path.abspath(__file__)
+
+    def finish(code):
+        sys.stdout.flush()
+        if hung:
+            os._exit(code)  # abandoned probe threads block a clean exit
+        sys.exit(code)
+
+    # ---- file phase (subprocess; its wedge cannot take the parent) ----
+    f_out = os.path.join(REPO, ".bench_file_phase.json")
+    f_res = br.run_phase(
+        br.phase_cmd(script, "file", f_out, flags),
+        f_out,
+        timeout_s=env_f("BENCH_FILE_TIMEOUT_S", 600 if quick else 2400),
+    )
+    if f_res["status"] != "ok":
+        print(json.dumps({
+            "metric": "file_rtf_batched",
+            "value": None,
+            "error": f"file phase {f_res['status']} "
+                     f"after {f_res.get('took_s')} s"
+                     + (": " + f_res.get("log_tail", "")[-300:]
+                        if f_res.get("log_tail") else ""),
+        }), flush=True)
+        finish(3)
+    file_result = f_res["result"]
+
+    # partial headline NOW ("partial": true — a driver parsing first-match
+    # still records a non-null value, ADVICE r4 #3): if the stream phase is
+    # lost to a wedge, the file number is already in the captured tail
+    print(json.dumps({
+        "metric": "file_rtf_batched",
+        "value": file_result["value"],
+        "unit": "ratio",
+        "vs_baseline": round(0.02 / file_result["value"], 3),
+        "quant": quant,
+        "partial": True,
+        "phase": "file-only (stream phase follows; its headline "
+                 "supersedes this line)",
+    }), flush=True)
+
+    # ---- stream phase (subprocess) ----
+    stream_metrics = {}
+    if "--no-streams" not in sys.argv:
+        s_out = os.path.join(REPO, ".bench_stream_phase.json")
+        s_res = br.run_phase(
+            br.phase_cmd(script, "stream", s_out, flags),
+            s_out,
+            timeout_s=env_f("BENCH_STREAM_TIMEOUT_S", 900 if quick else 3900),
+        )
+        if s_res["status"] == "ok":
+            stream_metrics = s_res["result"]
+        else:
+            stream_metrics = {
+                "stream_error": f"stream phase {s_res['status']} after "
+                                f"{s_res.get('took_s')} s (child abandoned, "
+                                "not killed; see .bench_stream_phase.json.log)"
+            }
+
+    detail = {
+        "metric": "file_rtf_batched",
+        "unit": "ratio",
+        "vs_baseline": round(0.02 / file_result["value"], 3),
+        "quant": quant,
+        **file_result,
+        **stream_metrics,
+    }
+    with open(_detail_path(), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # compact headline LAST (the driver records a bounded output tail;
+    # the full-detail line overflowed it in r3 and parsed as null)
     sys.stdout.flush()
-    print(json.dumps(headline))
+    print(json.dumps(assemble_headline(file_result, stream_metrics, quant)))
+    finish(0)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ against the real checkpoint breaks LOUDLY on day one:
     step against the synthetic fixture, including the golden-WAV gate.
 """
 
+import asyncio
 import dataclasses
 import json
 import os
@@ -179,3 +180,83 @@ def test_verify_runbook_twin_gate_is_not_vacuous(hf_dir, tmp_path,
     report = verify(d, out=str(tmp_path / "native"))
     by_step = {r["step"]: r for r in report}
     assert by_step["twin"]["status"] == "FAIL", report
+
+
+async def test_serve_smoke_through_checkpoint_path(hf_dir, tmp_path,
+                                                   aiohttp_client):
+    """Day-one SERVING wiring (VERDICT r4 #8): boot `build_runtime` from a
+    converted checkpoint directory — the exact path the real
+    GLM-ASR-Nano-2512 weights will take (`serve --model <dir>`) — and drive
+    one live WS session plus one file job over real sockets. verify_checkpoint
+    proves convert→load→transcribe; this proves the serving layer consumes
+    the same checkpoint end to end before real weights ever arrive."""
+    from sonicscribe_tpu.audio.wav import write_wav
+    from sonicscribe_tpu.config import AppConfig
+    from sonicscribe_tpu.serve.app import build_app, build_runtime
+
+    _cfg, d = hf_dir
+    ckpt = str(tmp_path / "native_ckpt")
+    convert_hf_checkpoint(d, ckpt, cfg=None, progress=lambda _m: None)
+
+    app_cfg = AppConfig()
+    engine, vad, info = build_runtime(ckpt, "energy", app_cfg)
+    try:
+        app = build_app(app_cfg, engine, vad, info)
+        client = await aiohttp_client(app)
+
+        body = await (await client.get("/health")).json()
+        assert body["status"] == "ok" and body["model_loaded"]
+
+        sr = 16000
+        t = np.arange(int(2.0 * sr)) / sr
+        env = 0.5 * (1 + np.sin(2 * np.pi * 3 * t))
+        speech = (0.25 * env * sum(
+            np.sin(2 * np.pi * f * t) for f in (200, 700, 1500, 2600)
+        )).astype(np.float32)
+        sil = (0.0006 * np.random.default_rng(1)
+               .standard_normal(int(1.6 * sr))).astype(np.float32)
+
+        # --- one file job over live sockets ---
+        from aiohttp import FormData
+
+        form = FormData()
+        form.add_field(
+            "file", write_wav(np.concatenate([sil[: sr // 2], speech, sil]), sr),
+            filename="smoke.wav", content_type="audio/wav",
+        )
+        r = await client.post("/transcribe/file?stream=true", data=form)
+        assert r.status == 200
+        lines = [json.loads(ln) for ln in (await r.text()).strip().split("\n")]
+        summary = lines[-1]
+        assert summary["type"] == "final_summary"
+        assert summary["successful_segments"] >= 1
+        assert summary["failed_segments"] == 0
+
+        # --- one WS session over live sockets ---
+        ws = await client.ws_connect("/ws/audio")
+        hello = json.loads(await ws.receive_str())
+        assert hello["type"] == "connection_established"
+        pcm = np.clip(
+            np.concatenate([sil[: sr // 2], speech, sil]) * 32767,
+            -32768, 32767,
+        ).astype("<i2").tobytes()
+        committed = None
+        for i in range(0, len(pcm), 2048):
+            await ws.send_bytes(pcm[i : i + 2048])
+        for _ in range(200):
+            try:
+                msg = json.loads(await asyncio.wait_for(
+                    ws.receive_str(), timeout=20.0
+                ))
+            except asyncio.TimeoutError:
+                break
+            if msg["type"] == "committed_output":
+                committed = msg
+                break
+        await ws.close()
+        assert committed is not None, "no committed_output from checkpoint-served session"
+        # random weights may greedy-decode straight to EOS -> empty text;
+        # the wiring proof is the committed message itself, with the field
+        assert "text" in committed and "segment_id" in committed, committed
+    finally:
+        engine.shutdown()

@@ -5,6 +5,19 @@
  */
 import { RealtimeChat } from "/static/realtime.js";
 import { FileAnalyzer } from "/static/file.js";
+import { apply as i18nApply, getLang, setLang } from "/static/i18n.js";
+
+// language toggle (reference UI ships Chinese labels; we serve both)
+i18nApply();
+const langBtn = document.getElementById("langBtn");
+function syncLangBtn() {
+  langBtn.textContent = getLang() === "zh" ? "EN" : "中文";
+}
+syncLangBtn();
+langBtn.onclick = () => {
+  setLang(getLang() === "zh" ? "en" : "zh");
+  syncLangBtn();
+};
 
 const tabs = {
   realtime: {

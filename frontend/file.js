@@ -16,6 +16,7 @@
  *   and then streaming transcription progress (50-100%) — fetch() cannot
  *   report upload progress.
  */
+import { t } from "/static/i18n.js";
 
 const MAX_BYTES = 100 * 1024 * 1024;
 const COMPRESS_THRESHOLD = 10 * 1024 * 1024;
@@ -66,7 +67,7 @@ export class FileAnalyzer {
   pick(file) {
     if (!file) return;
     if (file.size > MAX_BYTES) {
-      this.status("file exceeds 100 MB", "errline");
+      this.status(t("file_too_big"), "errline");
       return;
     }
     this.file = file;
@@ -85,7 +86,7 @@ export class FileAnalyzer {
       /\.wav$/i.test(file.name) || file.type === "audio/wav" ||
       file.type === "audio/x-wav";
     if (!isWav || file.size <= COMPRESS_THRESHOLD) return file;
-    this.status("compressing audio before upload…");
+    this.status(t("compressing"));
     try {
       const raw = await file.arrayBuffer();
       const probe = new OfflineAudioContext(1, 1, TARGET_SR);
@@ -138,7 +139,7 @@ export class FileAnalyzer {
     this.el.progress.style.width = "0%";
 
     const upload = await this.compressIfLarge(this.file);
-    this.status("uploading…");
+    this.status(t("uploading"));
 
     const form = new FormData();
     form.append("file", upload, upload.name || this.file.name);
@@ -179,12 +180,12 @@ export class FileAnalyzer {
           const speed = FileAnalyzer.uploadSpeed(
             e.loaded, performance.now() - uploadStart
           );
-          this.status(`uploading… ${pct}%${speed ? ` · ${speed}` : ""}`);
+          this.status(`${t("uploading")} ${pct}%${speed ? ` · ${speed}` : ""}`);
         }
       };
       xhr.upload.onload = () => {
         this.el.progress.style.width = "50%";
-        this.status("transcribing…");
+        this.status(t("transcribing"));
       };
       xhr.onprogress = () => drain(false);
       xhr.onload = () => {
@@ -198,8 +199,8 @@ export class FileAnalyzer {
         }
         resolve();
       };
-      xhr.onerror = () => { this.status("upload failed", "errline"); resolve(); };
-      xhr.ontimeout = () => { this.status("request timed out", "errline"); resolve(); };
+      xhr.onerror = () => { this.status(t("upload_failed"), "errline"); resolve(); };
+      xhr.ontimeout = () => { this.status(t("timed_out"), "errline"); resolve(); };
       xhr.send(form);
     });
     this.el.btn.disabled = false;
@@ -233,7 +234,7 @@ export class FileAnalyzer {
       case "segment_error": {
         const el = document.createElement("div");
         el.className = "errline";
-        el.textContent = `segment ${msg.segment_index} failed: ${msg.error}`;
+        el.textContent = `${t("segment_failed")} #${msg.segment_index}: ${msg.error}`;
         this.el.transcript.appendChild(el);
         break;
       }
@@ -284,6 +285,6 @@ export class FileAnalyzer {
       c.innerHTML = `<div class="v">${v}</div><div class="k">${k}</div>`;
       this.el.cards.appendChild(c);
     }
-    this.status(msg.failed_segments ? "done with errors" : "done");
+    this.status(msg.failed_segments ? t("done_errors") : t("done"));
   }
 }

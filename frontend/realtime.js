@@ -9,6 +9,7 @@
  * backoff, VU meter from chunk RMS, debounced VAD threshold POST, hotwords —
  * which this build actually wires into decoding server-side.
  */
+import { t } from "/static/i18n.js";
 
 const WS_PATH = "/ws/audio";
 const MAX_RECONNECT = 5;
@@ -66,12 +67,12 @@ export class RealtimeChat {
     try {
       await this.start();
     } catch (e) {
-      this.status(`start failed: ${e.message}`, "errline");
+      this.status(`${t("start_failed")}: ${e.message}`, "errline");
     }
   }
 
   async start() {
-    this.status("connecting…");
+    this.status(t("connecting"));
     await this.connect();
     this.stream = await navigator.mediaDevices.getUserMedia({
       audio: {
@@ -86,9 +87,9 @@ export class RealtimeChat {
     this.worklet.port.onmessage = (ev) => this.onChunk(ev.data);
     src.connect(this.worklet);
     this.recording = true;
-    this.el.startBtn.textContent = "Stop";
+    this.el.startBtn.textContent = t("stop");
     this.el.startBtn.className = "danger";
-    this.status("recording");
+    this.status(t("recording"));
     this.pingTimer = setInterval(() => this.send({ type: "ping" }), 5000);
   }
 
@@ -103,10 +104,10 @@ export class RealtimeChat {
       this.ws.close();
     }
     this.ws = null;
-    this.el.startBtn.textContent = "Start recording";
+    this.el.startBtn.textContent = t("start");
     this.el.startBtn.className = "primary";
     this.el.vu.style.width = "0%";
-    this.status("stopped");
+    this.status(t("stopped"));
   }
 
   connect() {
@@ -129,11 +130,11 @@ export class RealtimeChat {
         clearTimeout(timeout);
         if (this.recording && this.reconnects < MAX_RECONNECT) {
           this.reconnects += 1;
-          this.status(`reconnecting (${this.reconnects}/${MAX_RECONNECT})…`, "errline");
+          this.status(`${t("reconnecting")} (${this.reconnects}/${MAX_RECONNECT})…`, "errline");
           setTimeout(() => this.connect().catch(() => {}),
                      1000 * this.reconnects); // linear backoff
         } else if (this.recording) {
-          this.status("connection lost", "errline");
+          this.status(t("connection_lost"), "errline");
           this.stop();
         }
       };
@@ -180,7 +181,7 @@ export class RealtimeChat {
     switch (msg.type) {
       case "connection_established":
         this.clientId = msg.client_id; // kept for ?resume= on reconnect
-        this.status(`connected (${msg.client_id})${msg.resumed ? " [resumed]" : ""}`);
+        this.status(`${t("connected")} (${msg.client_id})${msg.resumed ? " [resumed]" : ""}`);
         break;
       case "tentative_output":
         this.renderTentative(msg);

@@ -1059,6 +1059,9 @@ class BatchedEngine:
             if _os.environ.get("SONIC_TICK_TRACE")
             else None
         )
+        # per-tick admit decomposition (filled only while tracing): host
+        # prep vs slot-state writes vs program dispatch, + groups per pool
+        self._trace_admit: "dict | None" = None
         # decode-k caps: a mid-tick arrival waits for the in-flight program,
         # so these bound queueing latency (tuned on-chip; see bench history)
         self.pending_k_cap = 16
@@ -1638,6 +1641,15 @@ class BatchedEngine:
             # VAD / scatter programs compile per batch bucket; their jitted
             # fns are pure (no engine-state mutation needed for warmup), so
             # the dispatch pass may discard results
+            # VAD/scatter: every tick with streams needs the bucket matching
+            # its batch — but only the LARGE buckets are needed at boot (a
+            # lockstep N-stream cohort's first gate wave and first ingest
+            # tick land in the top buckets; the small ones serve shrinking
+            # cohorts later and link lazily at ~1-2 s once if a request
+            # beats the idle-tick replay queue). r4's fast-cold replayed all
+            # 12 inline and dispatch_replay was 184.9 s of the 226.6 s cold
+            # boot (WARMUP_BENCH) — the r5 cut: small buckets queue at the
+            # head (prio 0), criticals replay in PARALLEL (see below).
             for B in _VAD_BATCH_BUCKETS:
                 def vad_host(B=B, lower_only=False):
                     self._run_vad_host(
@@ -1646,7 +1658,7 @@ class BatchedEngine:
                         lower_only=lower_only,
                     )
 
-                run(vad_host, critical=True)
+                run(vad_host, critical=B >= 16, prio=0)
 
                 def vad_ring(B=B, lower_only=False):
                     self._run_vad_ring(
@@ -1655,7 +1667,7 @@ class BatchedEngine:
                         lower_only=lower_only,
                     )
 
-                run(vad_ring, critical=True)
+                run(vad_ring, critical=B >= 16, prio=0)
             for M in _SCATTER_BUCKETS:
                 def scatter(M=M, lower_only=False):
                     self._run_scatter(
@@ -1665,7 +1677,12 @@ class BatchedEngine:
                         lower_only=lower_only,
                     )
 
-                run(scatter, critical=True)
+                # exclusive: the scatter program DONATES self.ring and
+                # rebinds it — two concurrent replays would hand the same
+                # buffer to two programs (observed: "Array has been
+                # deleted" on the second), so these never enter the
+                # parallel critical pool
+                run(scatter, critical=M >= 128, prio=0, exclusive=True)
 
         phase_s: dict[str, float] = {}
         t0 = time.perf_counter()
@@ -1680,7 +1697,7 @@ class BatchedEngine:
             futures = []
 
             def submit(thunk, deferred=False, replay_bg=False,
-                       critical=False, prio=3):
+                       critical=False, prio=3, exclusive=False):
                 nonlocal n_jobs
                 if fast and deferred:
                     # keep the replay marker: execution-heavy programs get
@@ -1717,12 +1734,22 @@ class BatchedEngine:
         per_thunk_sync = bool(_os.environ.get("SONIC_WARMUP_SYNC"))
 
         queued: list[tuple[int, int, object]] = []
+        crit_thunks: list = []
 
         def replay(thunk, deferred=False, replay_bg=False,
-                   critical=False, prio=3):
+                   critical=False, prio=3, exclusive=False):
             del replay_bg  # subsumed: every non-critical fast replay queues
             if fast and deferred:
                 return  # background-compiled; first dispatch is its replay
+            if fast and critical:
+                # critical replays run AFTER the grid pass from a small
+                # thread pool: each one's server-side load/link is a 1-15 s
+                # remote-service round trip (cold), independent across
+                # programs — serial inline replay made this 184.9 s of the
+                # 226.6 s r4 fast-cold boot (WARMUP_BENCH). Donating
+                # (exclusive) programs run serially after the pool.
+                crit_thunks.append((thunk, exclusive))
+                return
             if fast and not critical:
                 # compiled (pass 1 / exec store) but its server-side
                 # load/link has not run. r3 replayed most of these INLINE,
@@ -1753,6 +1780,15 @@ class BatchedEngine:
         # every tick) replay inline; the rest drain through the idle-tick
         # queue so `ready` is not blocked on 75 serialized link round trips.
         pass_over_grid(replay)
+        if crit_thunks:
+            pooled = [t for t, excl in crit_thunks if not excl]
+            serial = [t for t, excl in crit_thunks if excl]
+            if pooled:
+                with ThreadPoolExecutor(max_workers=8) as ex2:
+                    for _ in ex2.map(lambda t: t(), pooled):
+                        pass
+            for t in serial:
+                t()
         np.asarray(self.long.cache_len[:1])  # drain the dispatch queue
         self.stats["warmup_slowest"] = sorted(slowest, reverse=True)[:8]
         queued.sort(key=lambda q: (q[0], q[1]))
@@ -2531,6 +2567,11 @@ class BatchedEngine:
         requests are reaped one tick late; in exchange every tick's RTT is
         hidden, which is a strict win at realtime tick rates."""
         trace = self.tick_trace
+        if trace is not None:
+            self._trace_admit = {
+                "prep_ms": 0.0, "write_ms": 0.0, "dispatch_ms": 0.0,
+                "groups_short": 0, "groups_long": 0,
+            }
         t0 = time.perf_counter()
         self._sweep_cancelled()
         # 0) ship ALL sessions' new audio chunks in ONE packed upload
@@ -2636,6 +2677,7 @@ class BatchedEngine:
                     (p.name, sum(1 for s in p.slots if s.active))
                     for p in self.pools
                 ],
+                "admit_detail": self._trace_admit,
             })
 
     # ---------------- device work ----------------
@@ -2908,6 +2950,8 @@ class BatchedEngine:
             count[j] = max(1, c)
             bias_ids = tr._hotword_token_ids(req.hotwords) if req.hotwords else None
             sbb.append((slot_list[j], bias_ids, req.max_new_tokens))
+        ta = self._trace_admit
+        t_w = time.perf_counter() if ta is not None else 0.0
         self._set_slot_bias_budget(pool, sbb)
         self._set_slot_drafts(
             pool,
@@ -2916,6 +2960,10 @@ class BatchedEngine:
                 for req, slot_idx in zip(items, slot_list)
             ],
         )
+        if ta is not None:
+            ta["write_ms"] += (time.perf_counter() - t_w) * 1e3
+            ta[f"groups_{pool.name}"] += 1
+            t_d = time.perf_counter()
         if prefix is None:
             prompt = build_prompt(tr.tokenizer, self.cfg)
             prefix = prompt.prefix_ids
@@ -2935,6 +2983,8 @@ class BatchedEngine:
             return
 
         t_admit = time.perf_counter()
+        if ta is not None:
+            ta["dispatch_ms"] += (t_admit - t_d) * 1e3
         if pool is self.short:
             self._last_short_admit = t_admit
         for req, slot_idx in zip(items, slot_list):
@@ -3054,6 +3104,8 @@ class BatchedEngine:
         """Group by mel bucket, split to compiled batch sizes, dispatch one
         prefill program per group."""
         by_key: dict[tuple[int, int], list] = {}
+        ta = self._trace_admit
+        t_prep = time.perf_counter() if ta is not None else 0.0
         for req in reqs:
             prep = self._prepare_request(req)
             if prep is None:
@@ -3068,6 +3120,11 @@ class BatchedEngine:
                 self._host_backlog.append(req)
                 continue
             by_key.setdefault((prep[0], prep[7]), []).append((req, prep))
+        if ta is not None:
+            # host prep (resample + mel dispatch + prompt build) vs program
+            # dispatch: the tick-trace decomposition that locates whether
+            # admit_ms is host work or dispatch RTTs (MIXED_BENCH r5)
+            ta["prep_ms"] += (time.perf_counter() - t_prep) * 1e3
 
         for (bucket, sb), items in by_key.items():
             b_cap = self._group_b_cap(pool, bucket)
@@ -3105,6 +3162,8 @@ class BatchedEngine:
         )
         padded_slots = slot_list + [pool.trash_slot] * (B - len(items))
 
+        ta = self._trace_admit
+        t_w = time.perf_counter() if ta is not None else 0.0
         # per-slot bias/budget rows must land BEFORE the prefill program
         self._set_slot_bias_budget(
             pool,
@@ -3120,6 +3179,10 @@ class BatchedEngine:
                 for (req, _), slot_idx in zip(items, slot_list)
             ],
         )
+        if ta is not None:
+            ta["write_ms"] += (time.perf_counter() - t_w) * 1e3
+            ta[f"groups_{pool.name}"] += 1
+            t_d = time.perf_counter()
 
         try:
             self._dispatch_prefill_group(
@@ -3135,6 +3198,8 @@ class BatchedEngine:
             return
 
         t_admit = time.perf_counter()
+        if ta is not None:
+            ta["dispatch_ms"] += (t_admit - t_d) * 1e3
         if pool is self.short:
             self._last_short_admit = t_admit
         for (req, prep), slot_idx in zip(items, slot_list):

@@ -152,6 +152,13 @@ class ExecRouter:
             for i in donate_idx:
                 safe[i] = jax.numpy.copy(dyn_args[i])
             out = c(*safe)
+            # surface ASYNC dispatch failures now, inside this try: XLA:CPU
+            # defers "Function ... not found" binary-reload errors into the
+            # output buffers, where they would escape the validation guard
+            # and crash an unrelated downstream consumer (seen: a stale
+            # scatter binary crashing a later engine's first tick). One
+            # block per key per process; validated keys skip it.
+            jax.block_until_ready(out)
             self.unvalidated.discard(key)
             return out
         except Exception as e:

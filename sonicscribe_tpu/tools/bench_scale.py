@@ -37,14 +37,18 @@ def main():
     from sonicscribe_tpu.config import AppConfig
     from sonicscribe_tpu.engine.batcher import BatchedEngine
     from sonicscribe_tpu.engine.transcriber import Transcriber
-    from sonicscribe_tpu.models import nano
+    from sonicscribe_tpu.models import nano, tiny
     from sonicscribe_tpu.models.glm_asr import init_params
     from sonicscribe_tpu.models.tokenizer import ByteTokenizer
     from sonicscribe_tpu.tools.loadtest import run_load
     from sonicscribe_tpu.vad.model import EnergyVad, SileroCostProbeVad
 
-    cfg = nano()
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    quick = "--quick" in sys.argv  # CI/CPU smoke of the bench's own code
+    cfg = tiny() if quick else nano()
+    params = init_params(
+        cfg, jax.random.PRNGKey(0),
+        dtype=jnp.float32 if quick else jnp.bfloat16,
+    )
     tokenizer = ByteTokenizer(cfg)
     no_eos = np.zeros((cfg.decoder.vocab_size,), np.float32)
     no_eos[cfg.eos_id] = -1e9
@@ -60,7 +64,7 @@ def main():
     }
 
     # ---- 1) long-file batched RTF: 24 segments, 24 slots ----
-    if "--skip-file" not in sys.argv:
+    if "--skip-file" not in sys.argv and not quick:
         n_seg = 24
         seg_bucket = 2048  # 20.48 s
         seg_seconds = seg_bucket * 160 / sr
@@ -103,13 +107,122 @@ def main():
         )
         print(json.dumps(results))
 
+    # ---- 1.5) capacity knee: 60/75/90/100 streams, both windows ----
+    # VERDICT r4 #3: "capacity-bound" at 100 was asserted from two points
+    # (50, 100). This locates the largest N where interim p50 < 300 ms holds
+    # in BOTH back-to-back 12 s windows, in the recommended 100-stream mode
+    # (int8-decoder, stagger on), plus a queue-vs-run decomposition of every
+    # window's committed path so the 100-stream second-window collapse
+    # (committed p50 3,966.9 ms, r4) is located, not guessed at.
+    if "--skip-knee" not in sys.argv:
+        from sonicscribe_tpu.ops.quant import quantize_params_int8
+
+        knee_params = (
+            params if quick else quantize_params_int8(params, decoder_only=True)
+        )
+        tr_k = Transcriber(cfg, knee_params, tokenizer,
+                           prefill_buckets=(128, 512))
+        k_engine = BatchedEngine(
+            tr_k, SileroCostProbeVad(), slots=4 if quick else 64,
+            max_decode_tokens=200, n_streams=8 if quick else 128,
+            base_logit_bias=no_eos,
+        )
+        t_w = time.perf_counter()
+        k_engine.warmup()
+        results["knee_warmup_s"] = round(time.perf_counter() - t_w, 1)
+        results["knee_mode"] = "int8-decoder, stagger on, slots=64"
+        app_cfg = AppConfig()
+        loop = asyncio.new_event_loop()
+
+        def window(n, seconds=12.0):
+            """One measured window; returns metrics + the long/short class
+            queue/run decomposition accumulated DURING it."""
+            k_engine.stats.pop("short_lat_ms", None)
+            k_engine.stats.pop("long_lat_ms", None)
+            m = loop.run_until_complete(
+                run_load(k_engine, app_cfg, n, seconds, realtime=True)
+            )
+            for cls in ("short", "long"):
+                lat = k_engine.stats.pop(f"{cls}_lat_ms", None)
+                if lat and lat.get("queue"):
+                    m[f"{cls}_queue_p50_ms"] = round(
+                        float(np.percentile(lat["queue"], 50)), 1)
+                    m[f"{cls}_queue_p95_ms"] = round(
+                        float(np.percentile(lat["queue"], 95)), 1)
+                    m[f"{cls}_run_p50_ms"] = round(
+                        float(np.percentile(lat["run"], 50)), 1)
+                    m[f"{cls}_run_p95_ms"] = round(
+                        float(np.percentile(lat["run"], 95)), 1)
+                    m[f"{cls}_n"] = len(lat["queue"])
+            return m
+
+        knee = None
+        for n in (3, 6) if quick else (60, 75, 90, 100):
+            loop.run_until_complete(  # settle at this N
+                run_load(k_engine, app_cfg, n, 3.0 if quick else 6.0,
+                         realtime=True)
+            )
+            w = 4.0 if quick else 12.0
+            w1, w2 = window(n, w), window(n, w)
+            results[f"knee_{n}"] = {
+                "interim_p50_ms_windows": [w1["interim_p50_ms"],
+                                           w2["interim_p50_ms"]],
+                "interim_p95_ms_windows": [w1["interim_p95_ms"],
+                                           w2["interim_p95_ms"]],
+                "committed_p50_ms_windows": [w1.get("committed_p50_ms"),
+                                             w2.get("committed_p50_ms")],
+                "committed_counts": [w1["committed_count"],
+                                     w2["committed_count"]],
+                "ingest_lag_s": max(w1["max_ingest_lag_s"],
+                                    w2["max_ingest_lag_s"]),
+                "w2_long_queue_p50_ms": w2.get("long_queue_p50_ms"),
+                "w2_long_queue_p95_ms": w2.get("long_queue_p95_ms"),
+                "w2_long_run_p50_ms": w2.get("long_run_p50_ms"),
+                "w2_long_run_p95_ms": w2.get("long_run_p95_ms"),
+                "w1_long_queue_p50_ms": w1.get("long_queue_p50_ms"),
+                "w1_long_run_p50_ms": w1.get("long_run_p50_ms"),
+            }
+            both_under = all(
+                p is not None and p < 300.0
+                for p in results[f"knee_{n}"]["interim_p50_ms_windows"]
+            )
+            if both_under:
+                knee = n
+            print(json.dumps({f"knee_{n}": results[f"knee_{n}"]}))
+        results["knee_max_n_p50_under_300_both_windows"] = knee
+
+        # remedies at 100 before calling it capacity (same engine where
+        # possible): a bigger long-pool k (finals waves drain in fewer
+        # ticks) — the k cap is mutable, so this is a same-engine A/B
+        if "--skip-remedies" not in sys.argv:
+            n_r = 6 if quick else 100
+            loop.run_until_complete(
+                run_load(k_engine, app_cfg, n_r, 3.0 if quick else 6.0,
+                         realtime=True)
+            )
+            k_engine.long_live_k_cap = 16
+            w = 4.0 if quick else 12.0
+            w1, w2 = window(n_r, w), window(n_r, w)
+            results["remedy_k16_100"] = {
+                "interim_p50_ms_windows": [w1["interim_p50_ms"],
+                                           w2["interim_p50_ms"]],
+                "committed_p50_ms_windows": [w1.get("committed_p50_ms"),
+                                             w2.get("committed_p50_ms")],
+                "w2_long_queue_p50_ms": w2.get("long_queue_p50_ms"),
+                "w2_long_run_p50_ms": w2.get("long_run_p50_ms"),
+            }
+            k_engine.long_live_k_cap = 8
+            print(json.dumps({"remedy_k16_100": results["remedy_k16_100"]}))
+        k_engine.shutdown()
+        loop.close()
+
     # ---- 2) 100 concurrent realtime streams (bf16 AND int8) ----
     # bf16 at 100 streams sits just over the 300 ms p50 bar (r2: 320.9, r3:
     # 321.1 with the NN gate) - that is chip capacity, not scheduling: the
     # B=32 prefill ladder did not move it. The recommended 100-stream
     # configuration is QUANT_MODE=int8 (decode weight stream halves), which
     # this section also records.
-    if "--skip-streams" not in sys.argv:
+    if "--skip-streams" not in sys.argv and not quick:
         n_streams = 100
 
         def stream100(stream_params, tag, stagger=True):
@@ -184,7 +297,9 @@ def main():
 
     # merge with any prior run so --skip-* partial runs don't clobber the
     # other section's recorded numbers
-    out_path = os.path.join(repo, "SCALE_BENCH.json")
+    out_path = os.path.join(
+        repo, "SCALE_BENCH_quick.json" if quick else "SCALE_BENCH.json"
+    )
     merged = {}
     if os.path.exists(out_path):
         try:

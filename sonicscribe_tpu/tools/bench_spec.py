@@ -188,6 +188,62 @@ def main() -> None:
     }
     results.append(ceiling)
     print(json.dumps(ceiling))
+
+    # ---- mid-acceptance sweep (VERDICT r4 #4): the regime between the
+    # endpoints. Drafts are the TRUE greedy tokens with the tail corrupted
+    # from a controlled fraction, so matching-prefix acceptance ~= the
+    # target. Each fraction starts from a healthy gate (ema=1.0) and runs
+    # three batches, recording committed wall time per batch and the
+    # acceptance-EMA trajectory — at 25 % the EMA must cross the launch
+    # floor (spec_accept_min) and gate drafts OFF (hysteresis shown on a
+    # sweep, not asserted); the EMA keeps updating from unspent drafts'
+    # prefix match, so a recovered workload re-opens the gate. ----
+    V = cfg.decoder.vocab_size
+
+    def corrupt(toks, frac):
+        toks = np.asarray(toks, np.int32).copy()
+        keep = max(1, int(round(len(toks) * frac)))
+        for i in range(keep, len(toks)):
+            bad = int(toks[i])
+            while True:
+                bad = (bad + 1) % V
+                if bad not in (cfg.eos_id, cfg.pad_id) and bad != int(toks[i]):
+                    break
+            toks[i] = bad
+        return toks
+
+    for frac in (0.25, 0.5, 0.75):
+        engine.spec_accept_ema = 1.0
+        drafts = [corrupt(t, frac) for t in golden_toks]
+        traj, times = [], []
+        vr0 = engine.stats.get("verify_rounds", 0)
+        mismatch = 0
+        for _rep in range(3):
+            toks, t_run = loop.run_until_complete(run_batch(drafts))
+            times.append(round(t_run, 2))
+            traj.append(round(engine.spec_accept_ema, 3))
+            mismatch += sum(
+                0 if len(a) == len(b)
+                and all(int(x) == int(y) for x, y in zip(a, b)) else 1
+                for a, b in zip(golden_toks, toks)
+            )
+        entry = {
+            "variant": f"agreement_{int(frac * 100)}",
+            "target_acceptance": frac,
+            "n_finals": n_seg,
+            "tokens_per_final": budget,
+            "plain_s": round(t_plain, 2),
+            "runs_s": times,
+            "best_speedup_vs_plain": round(t_plain / max(min(times), 1e-9), 2),
+            "accept_ema_trajectory": traj,
+            "gate_floor": engine.spec_accept_min,
+            "gated_off_at_end": engine.spec_accept_ema < engine.spec_accept_min,
+            "verify_rounds": engine.stats.get("verify_rounds", 0) - vr0,
+            "token_mismatches": mismatch,  # losslessness check: must be 0
+        }
+        results.append(entry)
+        print(json.dumps(entry))
+
     engine.shutdown()
     loop.close()
 
@@ -205,12 +261,15 @@ def main() -> None:
                 "tokens so draft acceptance is near 1; real-checkpoint "
                 "acceptance = interim/final transcript agreement (high for "
                 "ASR), and rejected tokens cost nothing vs a plain decode "
-                "step (lossless either way).",
+                "step (lossless either way). The agreement_25/50/75 "
+                "variants (r5) measure the MIDDLE with tail-corrupted "
+                "golden drafts: controlled acceptance, EMA trajectory, and "
+                "the launch gate closing at 25 %.",
         "variants": results,
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "SPEC_FINALS_BENCH.json",
+        "SPEC_FINALS_BENCH_quick.json" if quick else "SPEC_FINALS_BENCH.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

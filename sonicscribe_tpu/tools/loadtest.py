@@ -115,8 +115,14 @@ async def run_load(
     realtime: bool = True,
     speech_s: float = 2.0,
     silence_s: float = 1.5,
+    samples: "list | None" = None,
 ) -> dict:
-    """-> metrics dict. `engine` must expose the async engine interface."""
+    """-> metrics dict. `engine` must expose the async engine interface.
+
+    `samples`, when given, collects per-result tuples
+    ``(time.perf_counter(), kind, latency_s)`` with kind in
+    {"interim", "committed"} — lets callers split latency percentiles by a
+    concurrent event's wall-clock window (e.g. MIXED_BENCH's file job)."""
     interim_lat: list[float] = []
     committed_lat: list[float] = []
     committed_count = 0
@@ -133,10 +139,19 @@ async def run_load(
             nonlocal committed_count
             if msg["type"] == "tentative_output":
                 interim_lat.append(msg["processing_delay"])
+                if samples is not None:
+                    samples.append(
+                        (time.perf_counter(), "interim", msg["processing_delay"])
+                    )
             elif msg["type"] == "committed_output":
                 committed_count += 1
                 if msg.get("processing_delay") is not None:
                     committed_lat.append(msg["processing_delay"])
+                    if samples is not None:
+                        samples.append(
+                            (time.perf_counter(), "committed",
+                             msg["processing_delay"])
+                        )
 
         s = StreamSession(f"load{i}", config, engine, send, clock=clock)
         sessions.append(s)

@@ -722,6 +722,32 @@ class _RingTranscribeReq:
     speculative: bool = False  # unconfirmed eager final (see _TranscribeReq)
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _slot_write_program(
+    budgets,  # [S] i32 (donated)
+    draft,  # [S, W] i32 (donated)
+    draft_len,  # [S] i32 (donated)
+    draft_pos,  # [S] i32 (donated)
+    idx,  # [B] i32 slot indices (padding rows -> trash slot)
+    budget_vals,  # [B] i32
+    draft_rows,  # [B, W] i32
+    draft_lens,  # [B] i32
+):
+    """ONE fused device write of an admit group's per-slot state (budget +
+    speculative draft buffers). The eager path is four separate `.at[].set`
+    dispatches per group; on the tunneled runtime every dispatch costs host
+    serialization + an enqueue round trip, and the admit phase is a
+    measured term of the tick (INTERIM_BENCH admit_ms). Behavior-identical
+    to the eager writes — flag `fuse_slot_writes`, A/B'd in MIXED_BENCH.
+    Writes to the pool's trash slot (padding rows) are harmless: the slot
+    is never activated or reaped, matching the prefill path's padding."""
+    budgets = budgets.at[idx].set(budget_vals)
+    draft = draft.at[idx].set(draft_rows)
+    draft_len = draft_len.at[idx].set(draft_lens)
+    draft_pos = draft_pos.at[idx].set(jnp.zeros_like(draft_lens))
+    return budgets, draft, draft_len, draft_pos
+
+
 class BatchedEngine:
     """Continuous-batching engine; same interface as ThreadedEngine."""
 
@@ -1098,6 +1124,10 @@ class BatchedEngine:
         # splits admission into two host-prep passes per tick and the
         # starved-pool early-resolve spends a blocking RTT mid-tick.
         self.ration_long_admits = False
+        # fuse the per-admit-group budget+draft writes (4 eager dispatches)
+        # into one device program (_slot_write_program); behavior-identical,
+        # default OFF until the MIXED_BENCH A/B leg prices it on chip
+        self.fuse_slot_writes = False
         # de-synchronize lockstep interim cohorts with a per-stream cadence
         # phase (see interim_stagger; bench_scale A/Bs this flag)
         self.stagger_interims = True
@@ -2952,13 +2982,15 @@ class BatchedEngine:
             sbb.append((slot_list[j], bias_ids, req.max_new_tokens))
         ta = self._trace_admit
         t_w = time.perf_counter() if ta is not None else 0.0
-        self._set_slot_bias_budget(pool, sbb)
-        self._set_slot_drafts(
+        self._set_slot_state(
             pool,
             [
-                (slot_idx, getattr(req, "draft_tokens", None))
-                for req, slot_idx in zip(items, slot_list)
+                (slot_idx, bias_ids_j, budget_j,
+                 getattr(req, "draft_tokens", None))
+                for (slot_idx, bias_ids_j, budget_j), req
+                in zip(sbb, items)
             ],
+            padded_slots,
         )
         if ta is not None:
             ta["write_ms"] += (time.perf_counter() - t_w) * 1e3
@@ -3006,6 +3038,17 @@ class BatchedEngine:
         the request decodes normally (lossless either way). Slots admitted
         WITHOUT a draft get draft_len=0, which degrades the verify program
         to 1 token/round for them (same HBM cost as a decode step)."""
+        rows, lens, slots = self._prep_draft_rows(pool, slot_drafts)
+        idx = jnp.asarray(slots, jnp.int32)
+        pool.draft = pool.draft.at[idx].set(jnp.asarray(np.stack(rows)))
+        pool.draft_len = pool.draft_len.at[idx].set(
+            jnp.asarray(lens, jnp.int32)
+        )
+        pool.draft_pos = pool.draft_pos.at[idx].set(0)
+
+    def _prep_draft_rows(self, pool: _CachePool, slot_drafts: list):
+        """Host prep shared by the eager and fused write paths: draft rows/
+        lens per slot + the drafted/spec_rounds slot bookkeeping."""
         W = pool.draft.shape[1]
         rows, lens, slots = [], [], []
         for slot, d in slot_drafts:
@@ -3029,30 +3072,61 @@ class BatchedEngine:
             pool.slots[slot].spec_rounds = (
                 -(-lens[-1] // self.spec_w) if use else 0
             )
-        idx = jnp.asarray(slots, jnp.int32)
-        pool.draft = pool.draft.at[idx].set(jnp.asarray(np.stack(rows)))
-        pool.draft_len = pool.draft_len.at[idx].set(
-            jnp.asarray(lens, jnp.int32)
-        )
-        pool.draft_pos = pool.draft_pos.at[idx].set(0)
+        return rows, lens, slots
 
-    def _set_slot_bias_budget(self, pool: _CachePool, slot_bias_budget: list) -> None:
-        """(slot, bias_ids|None, budget) triples for one admit group — one
-        batched budget write; hotword bias rows are BUILT ON DEVICE from the
-        boosted token ids (a [V]-row upload costs ~240 KB, which at 50
-        requests/s saturates host->device bandwidth)."""
-        slots = [s for s, _, _ in slot_bias_budget]
-        budgets = [b for _, _, b in slot_bias_budget]
-        pool.budgets = pool.budgets.at[jnp.asarray(slots, jnp.int32)].set(
-            jnp.asarray(budgets, jnp.int32)
+    def _set_slot_state(
+        self, pool: _CachePool, entries: list, padded_slots: list
+    ) -> None:
+        """Per-slot admission state for one admit group. `entries` is
+        [(slot, bias_ids, budget, draft_tokens)]; `padded_slots` is the
+        prefill group's padded slot list (len = compiled B, padding rows =
+        the pool's trash slot). With `fuse_slot_writes` the budget + draft
+        buffers land in ONE device program keyed to the same B as the
+        prefill (no extra grid dimension); hotword bias rows stay on the
+        eager path (rare)."""
+        if not self.fuse_slot_writes:
+            self._set_slot_bias_budget(
+                pool, [(s, b, bu) for s, b, bu, _ in entries]
+            )
+            self._set_slot_drafts(pool, [(s, d) for s, _, _, d in entries])
+            return
+        self._set_slot_bias(pool, [(s, b) for s, b, _, _ in entries])
+        rows, lens, _slots = self._prep_draft_rows(
+            pool, [(s, d) for s, _, _, d in entries]
         )
+        B = len(padded_slots)
+        W = pool.draft.shape[1]
+        pad = B - len(entries)
+        budget_vals = np.asarray(
+            [bu for _, _, bu, _ in entries] + [0] * pad, np.int32
+        )
+        draft_rows = np.stack(
+            rows + [np.full((W,), self.cfg.pad_id, np.int32)] * pad
+        )
+        draft_lens = np.asarray(lens + [0] * pad, np.int32)
+        key = ("slot_write", pool.name, B)
+        a = (
+            pool.budgets, pool.draft, pool.draft_len, pool.draft_pos,
+            jnp.asarray(np.asarray(padded_slots, np.int32)),
+            jnp.asarray(budget_vals), jnp.asarray(draft_rows),
+            jnp.asarray(draft_lens),
+        )
+        out = self._run_program(
+            key, _slot_write_program, a, a, donate_idx=(0, 1, 2, 3)
+        )
+        pool.budgets, pool.draft, pool.draft_len, pool.draft_pos = out
+
+    def _set_slot_bias(self, pool: _CachePool, slot_bias: list) -> None:
+        """Hotword bias rows for one admit group (eager; rare path) —
+        extracted from _set_slot_bias_budget so the fused-write path can
+        reuse it without the budget write."""
         base = (
             jnp.zeros((self.cfg.decoder.vocab_size,), jnp.float32)
             if self._base_bias is None
             else self._base_bias
         )
         zero_slots = []
-        for slot, bias_ids, _ in slot_bias_budget:
+        for slot, bias_ids in slot_bias:
             if bias_ids is not None and len(bias_ids):
                 row = base.at[jnp.asarray(bias_ids, jnp.int32)].add(
                     self.transcriber.hotword_bias_strength
@@ -3066,6 +3140,18 @@ class BatchedEngine:
             pool.bias = pool.bias.at[jnp.asarray(zero_slots, jnp.int32)].set(
                 base[None]
             )
+
+    def _set_slot_bias_budget(self, pool: _CachePool, slot_bias_budget: list) -> None:
+        """(slot, bias_ids|None, budget) triples for one admit group — one
+        batched budget write; hotword bias rows are BUILT ON DEVICE from the
+        boosted token ids (a [V]-row upload costs ~240 KB, which at 50
+        requests/s saturates host->device bandwidth)."""
+        slots = [s for s, _, _ in slot_bias_budget]
+        budgets = [b for _, _, b in slot_bias_budget]
+        pool.budgets = pool.budgets.at[jnp.asarray(slots, jnp.int32)].set(
+            jnp.asarray(budgets, jnp.int32)
+        )
+        self._set_slot_bias(pool, [(s, b) for s, b, _ in slot_bias_budget])
 
     def _prepare_request(self, req: _TranscribeReq):
         """Host+dispatch prep: -> (bucket, mel [T,nm], frames, suffix,
@@ -3164,20 +3250,15 @@ class BatchedEngine:
 
         ta = self._trace_admit
         t_w = time.perf_counter() if ta is not None else 0.0
-        # per-slot bias/budget rows must land BEFORE the prefill program
-        self._set_slot_bias_budget(
+        # per-slot bias/budget/draft state must land BEFORE the prefill
+        self._set_slot_state(
             pool,
             [
-                (slot_idx, prep[6], req.max_new_tokens)
+                (slot_idx, prep[6], req.max_new_tokens,
+                 getattr(req, "draft_tokens", None))
                 for (req, prep), slot_idx in zip(items, slot_list)
             ],
-        )
-        self._set_slot_drafts(
-            pool,
-            [
-                (slot_idx, getattr(req, "draft_tokens", None))
-                for (req, _), slot_idx in zip(items, slot_list)
-            ],
+            padded_slots,
         )
         if ta is not None:
             ta["write_ms"] += (time.perf_counter() - t_w) * 1e3

@@ -101,17 +101,20 @@ def main():
     # one engine per variant, all in ONE process back-to-back: the shared
     # tunneled chip drifts 20-60% between processes/hours, so only
     # same-process A/B comparisons are trustworthy.
-    # (tag, long_live_k_cap, busy_long_admit_cap) — stagger on / ration off
-    # / fuse off everywhere (all three settled by earlier A/Bs: stagger won
-    # at scale SCALE_BENCH r4; rationing and fusion lost, note_r4_ab).
+    # (tag, long_live_k_cap, busy_long_admit_cap, fuse_slot_writes) —
+    # stagger on / ration off / dual-fuse off everywhere (all three settled
+    # by earlier A/Bs: stagger won at scale SCALE_BENCH r4; rationing and
+    # dual-pool fusion lost, note_r4_ab). fusedw prices the r5 fused
+    # per-admit slot-state write (one program vs 4 eager dispatches).
     variants = (
-        ("shipped", 8, 2),      # the r4 defaults
-        ("admit1", 8, 1),       # halve per-tick long prefill work
-        ("k4", 4, 2),           # halve per-tick long decode work
-        ("admit1_k4", 4, 1),    # both
+        ("shipped", 8, 2, False),    # the r4 defaults
+        ("admit1", 8, 1, False),     # halve per-tick long prefill work
+        ("k4", 4, 2, False),         # halve per-tick long decode work
+        ("admit1_k4", 4, 1, False),  # both
+        ("fusedw", 8, 2, True),      # fused slot-state writes
     )
     file_budget = 64 if quick else 256
-    for tag, kcap, admit_cap in variants:
+    for tag, kcap, admit_cap, fusedw in variants:
         tr = Transcriber(cfg, params, tokenizer,
                          prefill_buckets=(128, seg_bucket))
         engine = BatchedEngine(
@@ -120,6 +123,7 @@ def main():
         )
         engine.long_live_k_cap = kcap
         engine.busy_long_admit_cap = admit_cap
+        engine.fuse_slot_writes = fusedw
         engine.warmup()
         loop = asyncio.new_event_loop()
 

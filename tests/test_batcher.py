@@ -497,6 +497,50 @@ class TestBaseLogitBias:
         assert all(t == qid for t in r_plain2.tokens)  # reset -> base
 
 
+class TestFusedSlotWrites:
+    def test_token_parity_with_fused_writes(self, stack):
+        """fuse_slot_writes must be behavior-identical: same tokens for
+        plain, hotword-biased, and drafted requests whether the per-slot
+        budget/draft state lands via 4 eager dispatches or the fused
+        program (_slot_write_program)."""
+        cfg, tr = stack
+        audio = _audio(0.5, seed=3)
+
+        async def run_engine(fused):
+            eng = BatchedEngine(tr, EnergyVad(), slots=4, max_decode_tokens=32)
+            eng.fuse_slot_writes = fused
+            try:
+                plain = await eng.transcribe(audio, SR, max_new_tokens=10)
+                hot = await eng.transcribe(
+                    audio, SR, max_new_tokens=10, hotwords=["jax"]
+                )
+                # drafted final through the verify path: golden draft
+                eng.spec_accept_ema = 1.0
+                drafted = await eng.transcribe(
+                    audio, SR, max_new_tokens=10,
+                    draft_tokens=plain.tokens,
+                )
+                # wave: fills multiple slots in one group (padded B)
+                wave = await asyncio.gather(*[
+                    eng.transcribe(audio, SR, max_new_tokens=8)
+                    for _ in range(3)
+                ])
+                return plain.tokens, hot.tokens, drafted.tokens, [
+                    r.tokens for r in wave
+                ]
+            finally:
+                eng.shutdown()
+
+        p0, h0, d0, w0 = _run(run_engine(False))
+        p1, h1, d1, w1 = _run(run_engine(True))
+        np.testing.assert_array_equal(p0, p1)
+        np.testing.assert_array_equal(h0, h1)
+        np.testing.assert_array_equal(d0, d1)
+        for a, b in zip(w0, w1):
+            np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(p0, d0)  # draft path is lossless
+
+
 class TestStallAbort:
     def test_wedged_tick_crashes_engine_and_fails_futures(self, stack):
         """A tick hung past tick_stall_abort_s (a wedged device runtime,

@@ -1125,9 +1125,13 @@ class BatchedEngine:
         # starved-pool early-resolve spends a blocking RTT mid-tick.
         self.ration_long_admits = False
         # fuse the per-admit-group budget+draft writes (4 eager dispatches)
-        # into one device program (_slot_write_program); behavior-identical,
-        # default OFF until the MIXED_BENCH A/B leg prices it on chip
-        self.fuse_slot_writes = False
+        # into one device program (_slot_write_program); behavior-identical
+        # (token-parity tested incl. hotwords/drafts/waves). Default ON:
+        # the same-process MIXED_BENCH r5 A/B measured the eager writes as
+        # a dominant hidden tick cost — admit write time 14-23 ms/tick ->
+        # 1.8 ms, 50-stream interim p50 276.1 -> 167.1 ms, p95 650 -> 426,
+        # committed p50 1512 -> 1214 (epoch rtt 28.1 ms)
+        self.fuse_slot_writes = True
         # de-synchronize lockstep interim cohorts with a per-stream cadence
         # phase (see interim_stagger; bench_scale A/Bs this flag)
         self.stagger_interims = True

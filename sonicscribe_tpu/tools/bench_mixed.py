@@ -104,14 +104,17 @@ def main():
     # (tag, long_live_k_cap, busy_long_admit_cap, fuse_slot_writes) —
     # stagger on / ration off / dual-fuse off everywhere (all three settled
     # by earlier A/Bs: stagger won at scale SCALE_BENCH r4; rationing and
-    # dual-pool fusion lost, note_r4_ab). fusedw prices the r5 fused
-    # per-admit slot-state write (one program vs 4 eager dispatches).
+    # dual-pool fusion lost, note_r4_ab). Round-1 r5 A/B (recorded in git
+    # history of MIXED_BENCH.json): the fused slot-state write won huge
+    # (p50 276->167, p95 650->426, committed 1512->1214) and is now the
+    # default; admit1 (cap=1) cut p95 650->438 pre-fuse; admit1_k4 lost
+    # (committed 2811). Round 2 sweeps admit/k caps ON TOP of the fused
+    # default, with a no-fuse control.
     variants = (
-        ("shipped", 8, 2, False),    # the r4 defaults
-        ("admit1", 8, 1, False),     # halve per-tick long prefill work
-        ("k4", 4, 2, False),         # halve per-tick long decode work
-        ("admit1_k4", 4, 1, False),  # both
-        ("fusedw", 8, 2, True),      # fused slot-state writes
+        ("shipped", 8, 2, True),   # the r5 defaults (fused writes)
+        ("admit1", 8, 1, True),    # + halve per-tick long prefill work
+        ("k4", 4, 2, True),        # + halve per-tick long decode work
+        ("nofuse", 8, 2, False),   # the r4 default, control leg
     )
     file_budget = 64 if quick else 256
     for tag, kcap, admit_cap, fusedw in variants:

@@ -1094,11 +1094,22 @@ class BatchedEngine:
         self.live_k_cap = 32
         # long-pool cap while realtime streams are live (see _pick_k).
         # Tuned on chip: 8 halved the mixed-workload interim p95 (559->257 ms,
-        # MIXED_BENCH.json); a 16 variant measured worse on every metric.
-        # Committed (speech-end -> final) latency is dominated by slot-pool
-        # capacity vs synchronized final waves, not by k — size `slots` to
-        # the expected concurrent finals.
+        # MIXED_BENCH.json); a 16 variant measured worse on every metric AT
+        # 50 STREAMS (live <= long slots). Committed (speech-end -> final)
+        # latency is dominated by slot-pool capacity vs synchronized final
+        # waves, not by k — size `slots` to the expected concurrent finals.
         self.long_live_k_cap = 8
+        # ...except when live streams OUTNUMBER long slots (the structural
+        # oversubscription signal eager_ok already denies bets on): final
+        # waves then queue behind each other for slots and each resident
+        # final's k=8 residency multiplies the wave's makespan — the knee
+        # sweep measured the 100-stream second window collapsing
+        # run-dominated (long-run p50 10.7 s, queue p50 281 ms) and k=16
+        # restoring committed p50 11.0 -> 1.36 s with interim p50/p95
+        # UNCHANGED (SCALE_BENCH.json knee_100 vs remedy_k16_100). The two
+        # regimes are cleanly separated by live vs len(long.slots), so the
+        # cap escalates structurally instead of by workload guesswork.
+        self.long_oversub_k_cap = 16
         # ...but when the short class is QUIET — no interim in flight AND
         # none admitted for short_quiet_s — the long pool may take a bigger
         # k and skip the pending cap (see _pick_k). Tuned on chip via
@@ -1587,9 +1598,10 @@ class BatchedEngine:
                         r for r in pool.rows_ladder if k >= 8
                     )
                     for rows in row_opts:
-                        # long-pool k>live-cap rungs are pure escalation
+                        # long-pool k>live-cap rungs are escalation
                         # programs (quiet windows / no-live-stream file
-                        # bursts): serving starts without them — _pick_k
+                        # bursts / the oversubscribed k=16 cap): serving
+                        # starts without them — _pick_k
                         # clamps to registered rungs — so fast boot defers
                         # their big scan compiles (the blocking pass's long
                         # pole, WARMUP_BENCH fast.aot_parallel) to the
@@ -1601,7 +1613,12 @@ class BatchedEngine:
                             or (pool is self.long and k > self.long_live_k_cap),
                             replay_bg=pool is self.long and k >= 16,
                             prio=1 if pool is self.short else (
-                                2 if rows is None and k <= self.long_live_k_cap
+                                # k<=16 full-rows are live serving rungs
+                                # (8 = live cap, 16 = oversubscribed cap) —
+                                # background-compile them ahead of the
+                                # idle-escalation/rows variants
+                                2 if rows is None
+                                and k <= self.long_oversub_k_cap
                                 else 3))
                 if self.speculative and pool is not self.short:
                     # speculative verify grid (all deferred: until
@@ -3370,6 +3387,15 @@ class BatchedEngine:
                 # interim traffic suppresses this via the quiet window
                 # (MIXED_BENCH protection)
                 cap = self.long_idle_k_cap
+            elif self.N_STREAMS - len(self._free_streams) > len(self.long.slots):
+                # oversubscribed: more live streams than long slots — final
+                # waves queue for slots, so a resident final's k-residency
+                # multiplies the wave's makespan. k=16 here restored the
+                # 100-stream committed collapse (p50 11.0 -> 1.36 s) with
+                # interims unchanged (SCALE_BENCH knee_100/remedy_k16_100);
+                # k=8 stays the cap below the threshold, where it won the
+                # mixed-load A/B (MIXED_BENCH).
+                cap = self.long_oversub_k_cap
             else:
                 cap = self.long_live_k_cap
             k = min(k, cap)

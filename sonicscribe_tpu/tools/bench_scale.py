@@ -114,6 +114,10 @@ def main():
     # (int8-decoder, stagger on), plus a queue-vs-run decomposition of every
     # window's committed path so the 100-stream second-window collapse
     # (committed p50 3,966.9 ms, r4) is located, not guessed at.
+    # NOTE: the committed artifact's knee_60..100 rows were recorded BEFORE
+    # the adaptive oversubscribed k cap shipped (they are the k8 control);
+    # a re-run measures the shipped default, and the remedies leg below
+    # forces the k8 control for the A/B.
     if "--skip-knee" not in sys.argv:
         from sonicscribe_tpu.ops.quant import quantize_params_int8
 
@@ -193,17 +197,23 @@ def main():
 
         # remedies at 100 before calling it capacity (same engine where
         # possible): a bigger long-pool k (finals waves drain in fewer
-        # ticks) — the k cap is mutable, so this is a same-engine A/B
+        # ticks). The r5 knee run measured this A/B and the k=16 leg won
+        # (committed p50 11.0 -> 1.36 s, interims unchanged), so the
+        # oversubscribed cap is NOW THE SHIPPED DEFAULT
+        # (batcher long_oversub_k_cap fires when live > long slots); the
+        # historical knee_60..100 rows above are therefore the k8 CONTROL.
+        # This leg re-measures the pre-adaptive default by forcing the
+        # oversubscribed cap back down, preserving the A/B.
         if "--skip-remedies" not in sys.argv:
             n_r = 6 if quick else 100
             loop.run_until_complete(
                 run_load(k_engine, app_cfg, n_r, 3.0 if quick else 6.0,
                          realtime=True)
             )
-            k_engine.long_live_k_cap = 16
+            k_engine.long_oversub_k_cap = k_engine.long_live_k_cap
             w = 4.0 if quick else 12.0
             w1, w2 = window(n_r, w), window(n_r, w)
-            results["remedy_k16_100"] = {
+            results["control_k8_100"] = {
                 "interim_p50_ms_windows": [w1["interim_p50_ms"],
                                            w2["interim_p50_ms"]],
                 "committed_p50_ms_windows": [w1.get("committed_p50_ms"),
@@ -211,8 +221,8 @@ def main():
                 "w2_long_queue_p50_ms": w2.get("long_queue_p50_ms"),
                 "w2_long_run_p50_ms": w2.get("long_run_p50_ms"),
             }
-            k_engine.long_live_k_cap = 8
-            print(json.dumps({"remedy_k16_100": results["remedy_k16_100"]}))
+            k_engine.long_oversub_k_cap = 16
+            print(json.dumps({"control_k8_100": results["control_k8_100"]}))
         k_engine.shutdown()
         loop.close()
 

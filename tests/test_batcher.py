@@ -233,6 +233,41 @@ class TestPickK:
         finally:
             eng.shutdown()
 
+    def test_long_cap_escalates_when_streams_outnumber_long_slots(self, stack):
+        """The oversubscribed regime (live streams > long slots) takes the
+        bigger long_oversub_k_cap: final waves queue for slots there, and
+        k=16 restored the 100-stream committed collapse with interims
+        unchanged (SCALE_BENCH knee_100 vs remedy_k16_100). Below the
+        threshold the mixed-load-tuned live cap (8) still applies."""
+        cfg, tr = stack
+        eng = BatchedEngine(tr, EnergyVad(), slots=2, max_decode_tokens=64)
+        try:
+            slot = eng.long.slots[0]
+            slot.active = True
+            slot.budget = 64
+            slot.steps_seen = 0
+            short_slot = eng.short.slots[0]
+            short_slot.active = True  # interims in flight: live caps apply
+            streams = [eng.alloc_stream(), eng.alloc_stream()]
+            # live == long slots: NOT oversubscribed, strict live cap
+            assert eng._pick_k(eng.long) <= eng.long_live_k_cap
+            streams.append(eng.alloc_stream())
+            # live (3) > long slots (2): escalated cap, but no further
+            k = eng._pick_k(eng.long)
+            assert eng.long_live_k_cap < k <= eng.long_oversub_k_cap
+            # the escalated cap still yields to a waiting short request
+            eng._host_backlog.append(object())
+            eng._backlog_has_short = True
+            assert eng._pick_k(eng.long) <= eng.pending_k_cap
+            eng._backlog_has_short = False
+            eng._host_backlog.clear()
+            for s in streams:
+                eng.free_stream(s)
+            slot.active = False
+            short_slot.active = False
+        finally:
+            eng.shutdown()
+
 
 class TestGroupedFinalPrefill:
     def test_final_wave_admits_as_one_group(self, stack):

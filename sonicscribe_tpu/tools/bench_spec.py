@@ -239,8 +239,20 @@ def main() -> None:
             "gate_floor": engine.spec_accept_min,
             "gated_off_at_end": engine.spec_accept_ema < engine.spec_accept_min,
             "verify_rounds": engine.stats.get("verify_rounds", 0) - vr0,
-            "token_mismatches": mismatch,  # losslessness check: must be 0
+            # losslessness check. Exactly 0 in f32 (asserted in --quick;
+            # token-parity also tested in test_spec_decode.py). In bf16 on
+            # chip, nonzero counts are sequences where a near-tie argmax
+            # flipped between the verify_step and decode_step program
+            # shapes — the random-weight model's logit margins are tiny, so
+            # any accepted prefix can land on the other side of a tie vs
+            # the plain-decode reference. More verify rounds spent => more
+            # flip opportunities (the chip recording reads 5/21/24 at
+            # 25/50/75 % acceptance), the standard numerics caveat of every
+            # greedy spec-decode system, not an acceptance-logic defect.
+            "token_mismatches": mismatch,
         }
+        if quick:
+            assert mismatch == 0, f"f32 spec decode must be exact: {entry}"
         results.append(entry)
         print(json.dumps(entry))
 

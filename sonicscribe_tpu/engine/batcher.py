@@ -1100,15 +1100,18 @@ class BatchedEngine:
         # waves, not by k — size `slots` to the expected concurrent finals.
         self.long_live_k_cap = 8
         # ...except when live streams OUTNUMBER long slots (the structural
-        # oversubscription signal eager_ok already denies bets on): final
-        # waves then queue behind each other for slots and each resident
-        # final's k=8 residency multiplies the wave's makespan — the knee
-        # sweep measured the 100-stream second window collapsing
-        # run-dominated (long-run p50 10.7 s, queue p50 281 ms) and k=16
-        # restoring committed p50 11.0 -> 1.36 s with interim p50/p95
-        # UNCHANGED (SCALE_BENCH.json knee_100 vs remedy_k16_100). The two
-        # regimes are cleanly separated by live vs len(long.slots), so the
-        # cap escalates structurally instead of by workload guesswork.
+        # oversubscription signal eager_ok already denies bets on) AND the
+        # short class has measured slack (short_queue_ema under the eager
+        # budget): final waves then queue behind each other for slots and
+        # each resident final's k=8 residency multiplies the wave's
+        # makespan — the knee sweep measured the 100-stream second window
+        # collapsing run-dominated (long-run p50 10.7 s, queue p50 281 ms)
+        # and k=16 restoring committed p50 11.0 -> 1.36 s with interim
+        # p50/p95 UNCHANGED (SCALE_BENCH.json knee_100 vs remedy_k16_100).
+        # The slack condition keeps the escalation out of the mixed-load
+        # file-burst regime (50 streams on 32 slots is ALSO oversubscribed,
+        # but there interims queue behind long programs and the k=8
+        # granularity is what the MIXED_BENCH tuning bought).
         self.long_oversub_k_cap = 16
         # ...but when the short class is QUIET — no interim in flight AND
         # none admitted for short_quiet_s — the long pool may take a bigger
@@ -3387,14 +3390,24 @@ class BatchedEngine:
                 # interim traffic suppresses this via the quiet window
                 # (MIXED_BENCH protection)
                 cap = self.long_idle_k_cap
-            elif self.N_STREAMS - len(self._free_streams) > len(self.long.slots):
+            elif (
+                self.N_STREAMS - len(self._free_streams)
+                > len(self.long.slots)
+                and self.short_queue_ema <= self.eager_queue_budget_ms
+            ):
                 # oversubscribed: more live streams than long slots — final
                 # waves queue for slots, so a resident final's k-residency
                 # multiplies the wave's makespan. k=16 here restored the
                 # 100-stream committed collapse (p50 11.0 -> 1.36 s) with
                 # interims unchanged (SCALE_BENCH knee_100/remedy_k16_100);
                 # k=8 stays the cap below the threshold, where it won the
-                # mixed-load A/B (MIXED_BENCH).
+                # mixed-load A/B (MIXED_BENCH). Escalation may only spend
+                # SHORT-CLASS SLACK (same rule as the eager gate, same EMA):
+                # in the measured escalation-win regime interims were
+                # healthy (knee_100 w2 p50 231 ms, queue-free), while a
+                # mixed-load file burst queues interims and spikes the EMA —
+                # there a 2x-longer long program is exactly the granularity
+                # tax the k=8 cap was tuned against, so the cap stays put.
                 cap = self.long_oversub_k_cap
             else:
                 cap = self.long_live_k_cap

@@ -234,11 +234,13 @@ class TestPickK:
             eng.shutdown()
 
     def test_long_cap_escalates_when_streams_outnumber_long_slots(self, stack):
-        """The oversubscribed regime (live streams > long slots) takes the
-        bigger long_oversub_k_cap: final waves queue for slots there, and
-        k=16 restored the 100-stream committed collapse with interims
-        unchanged (SCALE_BENCH knee_100 vs remedy_k16_100). Below the
-        threshold the mixed-load-tuned live cap (8) still applies."""
+        """The oversubscribed regime (live streams > long slots) with a
+        slack short class takes the bigger long_oversub_k_cap: final waves
+        queue for slots there, and k=16 restored the 100-stream committed
+        collapse with interims unchanged (SCALE_BENCH knee_100 vs
+        remedy_k16_100). Below the stream threshold — or while the short
+        class is queueing (the mixed-load file-burst regime, MIXED_BENCH) —
+        the mixed-load-tuned live cap (8) still applies."""
         cfg, tr = stack
         eng = BatchedEngine(tr, EnergyVad(), slots=2, max_decode_tokens=64)
         try:
@@ -248,13 +250,20 @@ class TestPickK:
             slot.steps_seen = 0
             short_slot = eng.short.slots[0]
             short_slot.active = True  # interims in flight: live caps apply
+            eng.short_queue_ema = 0.0  # short class healthy (measured slack)
             streams = [eng.alloc_stream(), eng.alloc_stream()]
             # live == long slots: NOT oversubscribed, strict live cap
             assert eng._pick_k(eng.long) <= eng.long_live_k_cap
             streams.append(eng.alloc_stream())
-            # live (3) > long slots (2): escalated cap, but no further
+            # live (3) > long slots (2) + slack: escalated cap, no further
             k = eng._pick_k(eng.long)
             assert eng.long_live_k_cap < k <= eng.long_oversub_k_cap
+            # no escalation while the short class is queueing (EMA above
+            # the eager budget — the boot default is also above it, so a
+            # fresh engine must earn the escalation with healthy interims)
+            eng.short_queue_ema = 2.0 * eng.eager_queue_budget_ms
+            assert eng._pick_k(eng.long) <= eng.long_live_k_cap
+            eng.short_queue_ema = 0.0
             # the escalated cap still yields to a waiting short request
             eng._host_backlog.append(object())
             eng._backlog_has_short = True

@@ -134,15 +134,27 @@ def main():
     # default; admit1 (cap=1) cut p95 650->438 pre-fuse; admit1_k4 lost
     # (committed 2811). Round 2 sweeps admit/k caps ON TOP of the fused
     # default, with a no-fuse control.
-    variants = (
-        ("shipped", 8, 2, True),   # the r5 defaults (fused writes)
-        ("admit1", 8, 1, True),    # + halve per-tick long prefill work
-        ("k4", 4, 2, True),        # + halve per-tick long decode work
-        ("nofuse", 8, 2, False),   # the r4 default, control leg
-    )
+    variants = [
+        ("shipped", 8, 2, True, False),   # the r5 defaults (fused writes)
+        ("admit1", 8, 1, True, False),    # + halve per-tick long prefill work
+        ("k4", 4, 2, True, False),        # + halve per-tick long decode work
+        ("nofuse", 8, 2, False, False),   # the r4 default, control leg
+    ]
+    if "--int8dec" in sys.argv:
+        # the note_r5_close "cheaper interim class" lever: int8-decoder
+        # interims run ~166 vs ~195 ms waves (BENCH_DETAIL), shrinking the
+        # short class's in-burst demand — the one term of the measured
+        # p95 floor (long program + one wave) the cap sweep can't touch
+        variants = [("int8dec", 8, 2, True, True)] + (
+            [] if "--int8dec-only" in sys.argv else variants
+        )
     file_budget = 64 if quick else 256
-    for tag, kcap, admit_cap, fusedw in variants:
-        tr = Transcriber(cfg, params, tokenizer,
+    for tag, kcap, admit_cap, fusedw, q8 in variants:
+        leg_params = params
+        if q8 and not quick:
+            from sonicscribe_tpu.ops.quant import quantize_params_int8
+            leg_params = quantize_params_int8(params, decoder_only=True)
+        tr = Transcriber(cfg, leg_params, tokenizer,
                          prefill_buckets=(128, seg_bucket))
         engine = BatchedEngine(
             tr, EnergyVad(), slots=4 if quick else 32,

@@ -40,6 +40,12 @@ def _pct(xs, p):
 def main():
     os.environ["SONIC_TICK_TRACE"] = "1"
     import jax
+
+    if "--cpu" in sys.argv:
+        # CPU smoke of the bench's own code without holding the chip: the
+        # ambient env pins the tunneled backend and a killed chip-attached
+        # quick run congests the remote queue for everyone (verify skill)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

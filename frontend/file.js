@@ -16,7 +16,7 @@
  *   and then streaming transcription progress (50-100%) — fetch() cannot
  *   report upload progress.
  */
-import { t } from "/static/i18n.js";
+import { t, release } from "/static/i18n.js";
 
 const MAX_BYTES = 100 * 1024 * 1024;
 const COMPRESS_THRESHOLD = 10 * 1024 * 1024;
@@ -71,6 +71,9 @@ export class FileAnalyzer {
       return;
     }
     this.file = file;
+    // the drop area now shows the chosen file, not the static hint — a
+    // language toggle must not clobber it back to the hint
+    release(this.el.area);
     this.el.area.textContent = `${file.name} (${(file.size / 1e6).toFixed(1)} MB)`;
     this.el.btn.disabled = false;
   }

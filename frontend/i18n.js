@@ -93,7 +93,26 @@ export function setLang(l) {
   apply();
 }
 
-/** Re-translate every element carrying a data-i18n attribute. */
+/**
+ * Point a dynamic element at a new key: its text updates now AND follows
+ * future language toggles (e.g. the start button flipping start <-> stop).
+ */
+export function own(el, key) {
+  el.dataset.i18n = key;
+  el.textContent = t(key);
+}
+
+/**
+ * Release an element whose text the runtime now owns (composite status
+ * strings, file names): apply() stops rewriting it, so a mid-session
+ * language toggle can no longer clobber live state back to the static
+ * default (e.g. "recording" -> "disconnected").
+ */
+export function release(el) {
+  delete el.dataset.i18n;
+}
+
+/** Re-translate every element i18n still owns (data-i18n attribute). */
 export function apply() {
   document.documentElement.lang = lang === "zh" ? "zh-CN" : "en";
   for (const el of document.querySelectorAll("[data-i18n]")) {

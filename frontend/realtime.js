@@ -9,7 +9,7 @@
  * backoff, VU meter from chunk RMS, debounced VAD threshold POST, hotwords —
  * which this build actually wires into decoding server-side.
  */
-import { t } from "/static/i18n.js";
+import { t, own, release } from "/static/i18n.js";
 
 const WS_PATH = "/ws/audio";
 const MAX_RECONNECT = 5;
@@ -52,6 +52,9 @@ export class RealtimeChat {
   }
 
   status(msg, cls = "") {
+    // the runtime owns the status line from the first update: a language
+    // toggle must not reset a live status to the static "disconnected"
+    release(this.el.status);
     this.el.status.textContent = msg;
     this.el.status.className = "status " + cls;
   }
@@ -87,7 +90,7 @@ export class RealtimeChat {
     this.worklet.port.onmessage = (ev) => this.onChunk(ev.data);
     src.connect(this.worklet);
     this.recording = true;
-    this.el.startBtn.textContent = t("stop");
+    own(this.el.startBtn, "stop"); // re-key: survives language toggles
     this.el.startBtn.className = "danger";
     this.status(t("recording"));
     this.pingTimer = setInterval(() => this.send({ type: "ping" }), 5000);
@@ -104,7 +107,7 @@ export class RealtimeChat {
       this.ws.close();
     }
     this.ws = null;
-    this.el.startBtn.textContent = t("start");
+    own(this.el.startBtn, "start");
     this.el.startBtn.className = "primary";
     this.el.vu.style.width = "0%";
     this.status(t("stopped"));

@@ -68,6 +68,10 @@ def _detail_path() -> str:
         tags.append(_quant())
     if "--quick" in sys.argv:
         tags.append("quick")
+    if "--cpu" in sys.argv:
+        # a CPU-forced run without --quick must still never overwrite the
+        # chip-measured headline detail
+        tags.append("cpu")
     if "--no-streams" in sys.argv:
         tags.append("nostreams")
     if "--energy-vad" in sys.argv:

@@ -1251,6 +1251,11 @@ class BatchedEngine:
             self._wake = asyncio.Event()
             self._pending_results = None  # stale handles die with the old loop
             self._running = True
+            # a successful restart clears the crash flag: alive/_health must
+            # report the NEW scheduler's state, not the old one's epitaph
+            # (a liveness probe keyed to 'degraded' would otherwise
+            # restart-loop a healthy process forever)
+            self._crashed = False
             self._task = asyncio.ensure_future(self._scheduler())
 
     async def transcribe(
@@ -1585,6 +1590,17 @@ class BatchedEngine:
                                     pool is self.short
                                     or (B == 1 and sb == self.suffix_buckets[0])
                                 ) else 3)
+                if self.fuse_slot_writes:
+                    # fused admit-state writes: one trivial program per
+                    # (pool, B) — compiled non-deferred (negligible vs the
+                    # prefill/decode grid) so the fused path never JITs
+                    # mid-serving; _set_slot_state falls back to the eager
+                    # writes for any key not yet linked (r5 review)
+                    for B in pool_choices:
+                        run(lambda pool=pool, B=B, lower_only=False:
+                                self._warmup_slot_write(
+                                    pool, B, lower_only=lower_only),
+                            prio=2)
                 # the short pool's budgets never exceed short_budget, so its
                 # k ladder stops there — bigger programs would compile but
                 # never dispatch (_pick_k picks smallest k >= min remaining)
@@ -3107,8 +3123,19 @@ class BatchedEngine:
         the pool's trash slot). With `fuse_slot_writes` the budget + draft
         buffers land in ONE device program keyed to the same B as the
         prefill (no extra grid dimension); hotword bias rows stay on the
-        eager path (rare)."""
-        if not self.fuse_slot_writes:
+        eager path (rare).
+
+        Never-JIT-mid-serving guard: with an exec store present, the fused
+        program only runs once its (pool, B) key is registered — warmup
+        registers the whole ladder (`_warmup_slot_write`), and any group
+        arriving before its key links routes through the eager writes
+        (behavior-identical, parity-tested), the same structural fallback
+        _pick_k's rung clamp gives the decode ladder."""
+        key = ("slot_write", pool.name, len(padded_slots))
+        fused = self.fuse_slot_writes and (
+            self._router.store is None or key in self._router.execs
+        )
+        if not fused:
             self._set_slot_bias_budget(
                 pool, [(s, b, bu) for s, b, bu, _ in entries]
             )
@@ -3128,7 +3155,6 @@ class BatchedEngine:
             rows + [np.full((W,), self.cfg.pad_id, np.int32)] * pad
         )
         draft_lens = np.asarray(lens + [0] * pad, np.int32)
-        key = ("slot_write", pool.name, B)
         a = (
             pool.budgets, pool.draft, pool.draft_len, pool.draft_pos,
             jnp.asarray(np.asarray(padded_slots, np.int32)),
@@ -3139,6 +3165,28 @@ class BatchedEngine:
             key, _slot_write_program, a, a, donate_idx=(0, 1, 2, 3)
         )
         pool.budgets, pool.draft, pool.draft_len, pool.draft_pos = out
+
+    def _warmup_slot_write(self, pool: _CachePool, B: int,
+                           lower_only: bool = False) -> None:
+        """Pre-register the fused admit-state write for one (pool, B):
+        all-padding rows aimed at the trash slot, so the dispatch pass can
+        execute it against the live pool arrays (donate + rebind, real
+        slots untouched). Until a key is registered, _set_slot_state
+        routes that group through the eager writes."""
+        W = pool.draft.shape[1]
+        a = (
+            pool.budgets, pool.draft, pool.draft_len, pool.draft_pos,
+            jnp.full((B,), pool.trash_slot, jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B, W), self.cfg.pad_id, jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        )
+        out = self._run_program(
+            ("slot_write", pool.name, B), _slot_write_program, a, a,
+            lower_only=lower_only, donate_idx=(0, 1, 2, 3),
+        )
+        if not lower_only:
+            pool.budgets, pool.draft, pool.draft_len, pool.draft_pos = out
 
     def _set_slot_bias(self, pool: _CachePool, slot_bias: list) -> None:
         """Hotword bias rows for one admit group (eager; rare path) —

@@ -270,7 +270,13 @@ def main():
         print(json.dumps({k: v for k, v in results.items()
                           if k.startswith(tag) and "decomposition" not in k}))
 
-    name = "MIXED_BENCH_quick.json" if quick else "MIXED_BENCH.json"
+    # --cpu without --quick must also land in a smoke file: a CPU run's
+    # numbers must never overwrite the committed chip-measured artifact
+    name = (
+        "MIXED_BENCH_quick.json"
+        if quick or "--cpu" in sys.argv
+        else "MIXED_BENCH.json"
+    )
     with open(os.path.join(repo, name), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({k: results[k] for k in results

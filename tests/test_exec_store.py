@@ -107,6 +107,45 @@ def test_transcriber_roundtrip(stack, tmp_path):
         os.environ["SONIC_EXEC_CACHE"] = "0"
 
 
+def test_fused_slot_writes_gate_on_registration(stack, tmp_path):
+    """With an exec store present, the fused admit-state write dispatches
+    only once its ('slot_write', pool, B) key is registered — warmup
+    registers the whole (pool, B) ladder in its blocking pass; a group
+    admitted before that routes through the eager writes (behavior-
+    identical), so admission never JITs a new program mid-serving."""
+    cfg, tr = stack
+    golden = tr.transcribe(_audio(), SR, max_new_tokens=8).tokens
+    os.environ["SONIC_EXEC_CACHE"] = str(tmp_path)
+    try:
+        eng = BatchedEngine(tr, EnergyVad(), slots=2, max_decode_tokens=16)
+        assert eng.fuse_slot_writes and eng._router.store is not None
+
+        async def go():
+            return await eng.transcribe(_audio(), SR, max_new_tokens=8)
+
+        loop = asyncio.get_event_loop_policy().new_event_loop()
+        try:
+            r1 = loop.run_until_complete(go())
+            np.testing.assert_array_equal(r1.tokens, golden)
+            # unwarmed: the admit routed eager — no fused key compiled
+            assert not any(
+                k[0] == "slot_write" for k in eng._router.execs
+            ), "unregistered fused write must fall back to eager"
+            eng.warmup(fast=True)
+            keys = {k for k in eng._router.execs if k[0] == "slot_write"}
+            assert {k[1] for k in keys} == {"short", "long"}, (
+                "warmup must pre-register the fused-write ladder for "
+                "both pools"
+            )
+            r2 = loop.run_until_complete(go())  # now takes the fused path
+            np.testing.assert_array_equal(r2.tokens, golden)
+        finally:
+            loop.close()
+            eng.shutdown()
+    finally:
+        os.environ["SONIC_EXEC_CACHE"] = "0"
+
+
 def test_prune_drops_only_stale_dirs(tmp_path):
     """Old fingerprint dirs prune; fresh ones (concurrent engines) stay."""
     from sonicscribe_tpu.engine.exec_store import ExecStore

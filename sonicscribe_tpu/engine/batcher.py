@@ -1066,6 +1066,10 @@ class BatchedEngine:
         # stop()/shutdown() (alive stays True — a cleanly stopped engine is
         # not a liveness failure)
         self._crashed = False
+        # the tick future the stall-abort walked away from, while its
+        # thread is (possibly still) stuck in the device runtime — start()
+        # refuses to spawn a new scheduler until it has finished
+        self._abandoned_tick = None
         # previous tick's unresolved device handles (pipelined scheduling)
         self._pending_results: Optional[dict] = None
         # overflow requests a full pool couldn't admit this tick
@@ -1237,6 +1241,29 @@ class BatchedEngine:
 
     async def start(self) -> None:
         loop = asyncio.get_running_loop()
+        if self._task is not None and self._task.done():
+            # previous scheduler exited on THIS loop (crash: the tick-stall
+            # abort, or any scheduler exception) — a finished task can't
+            # serve the queue, and without this a post-crash transcribe()
+            # would enqueue against nobody and hang. _fail_pending already
+            # freed every slot/backlog/future in the scheduler's finally,
+            # so host state is clean; spawn a fresh scheduler (if the
+            # device runtime is still wedged it will crash again, bounded
+            # by the same tick-stall abort — the supervisor process
+            # restart stays the durable remedy).
+            ab = self._abandoned_tick
+            if ab is not None and not ab.done():
+                # the wedged tick's thread is STILL stuck in the device
+                # runtime and still owns pool state — a new scheduler
+                # would race it. Fail fast: the caller sees the same
+                # crashed-engine error, the supervisor restarts the
+                # process (the only remedy for a wedged runtime).
+                raise RuntimeError(
+                    "batcher crashed and the wedged device tick is still "
+                    "stuck; restart the process"
+                )
+            self._abandoned_tick = None
+            self._task = None
         if self._task is not None and getattr(self, "_loop", None) is not loop:
             # event loop changed (tests / restart): rebind queues and task
             try:
@@ -2540,14 +2567,24 @@ class BatchedEngine:
                             except asyncio.TimeoutError:
                                 waited += self.tick_stall_dump_s
                                 if waited >= self.tick_stall_abort_s:
-                                    # retrieve the abandoned tick's eventual
-                                    # result silently: when the wedged fetch
-                                    # thread finally returns/raises, asyncio
-                                    # would otherwise log 'exception was
-                                    # never retrieved' into a dead engine
-                                    fut.add_done_callback(
-                                        lambda f: f.exception()
-                                    )
+                                    # the abandoned tick thread keeps
+                                    # mutating pool state: it may have
+                                    # popped backlog requests and admitted
+                                    # them to slots AFTER the crash
+                                    # handler's sweep, orphaning their
+                                    # futures (callers hang). When it
+                                    # finally returns/raises, retrieve the
+                                    # exception silently (else asyncio
+                                    # logs 'never retrieved' into a dead
+                                    # engine) and re-sweep everything it
+                                    # re-materialized.
+                                    def _reap_abandoned(f):
+                                        f.exception()
+                                        self._fail_pending(
+                                            RuntimeError("batcher crashed")
+                                        )
+                                    fut.add_done_callback(_reap_abandoned)
+                                    self._abandoned_tick = fut
                                     raise RuntimeError(
                                         f"device fetch wedged > {waited:.0f}"
                                         " s — abandoning the engine; "

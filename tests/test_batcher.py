@@ -617,6 +617,50 @@ class TestStallAbort:
 
         assert _run(go()) == "failed"
 
+    def test_start_restarts_after_crash(self, stack):
+        """After a scheduler crash, the next transcribe() must spawn a
+        fresh scheduler (the crashed task can't serve the queue — without
+        the restart branch in start() the request would enqueue against
+        nobody and hang) and a successful restart clears the crash flag so
+        /health reports the NEW scheduler's state."""
+        import time as _time
+
+        cfg, tr = stack
+        audio = _audio(0.3, seed=7)
+
+        async def go():
+            eng = BatchedEngine(tr, EnergyVad(), slots=2, max_decode_tokens=16)
+            eng.tick_stall_dump_s = 0.1
+            eng.tick_stall_abort_s = 0.3
+            real_tick = eng._tick
+            eng._tick = lambda *_a, **_k: _time.sleep(3.0)  # wedge
+            try:
+                with pytest.raises(RuntimeError):
+                    await eng.transcribe(audio, SR, max_new_tokens=4)
+                await asyncio.sleep(0)  # let the crashed task finish
+                assert eng.alive is False
+                # while the wedged tick thread is still stuck, restart must
+                # refuse (a new scheduler would race it on pool state)
+                assert eng._abandoned_tick is not None
+                if not eng._abandoned_tick.done():
+                    with pytest.raises(RuntimeError, match="still"):
+                        await eng.start()
+                    await asyncio.wait_for(
+                        asyncio.shield(eng._abandoned_tick), timeout=10.0
+                    )
+                eng._tick = real_tick  # "device recovered"
+                # restore real thresholds: the fresh scheduler's first tick
+                # compiles for seconds and must not trip the test's abort
+                eng.tick_stall_dump_s = 60.0
+                eng.tick_stall_abort_s = 600.0
+                res = await eng.transcribe(audio, SR, max_new_tokens=4)
+                assert res.tokens is not None
+                assert eng.alive is True  # restart cleared the crash flag
+            finally:
+                eng.shutdown()
+
+        _run(go())
+
     def test_graceful_shutdown_is_not_degraded(self, stack):
         """alive must stay True after a clean stop: /health's 'degraded'
         state means a wedged-device crash needing a supervisor restart,

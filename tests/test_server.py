@@ -126,6 +126,71 @@ async def test_health_degraded_when_engine_dead(app, aiohttp_client):
     assert body["status"] == "degraded" and body["model_loaded"]
 
 
+async def test_crash_self_heals_through_serving(app, aiohttp_client):
+    """End-to-end self-heal: a wedged device tick crashes the engine
+    (requests fail, /health degraded); once the stuck tick drains, the
+    NEXT request restarts the scheduler in-process and /health returns to
+    ok — a transient wedge needs no process bounce. (Module-scoped engine:
+    the heal itself restores the fixture for later tests.)"""
+    import time as _time
+
+    client = await aiohttp_client(app)
+    eng = app["engine"]
+    real_tick = eng._tick
+    dump_s, abort_s = eng.tick_stall_dump_s, eng.tick_stall_abort_s
+    try:
+        eng.tick_stall_dump_s, eng.tick_stall_abort_s = 0.1, 0.3
+        eng._tick = lambda *_a, **_k: _time.sleep(2.0)  # wedge
+
+        from aiohttp import FormData
+
+        form = FormData()
+        form.add_field("file", write_wav(_speech(1.0), SR), filename="t.wav")
+        r = await client.post("/transcribe/file?stream=false", data=form)
+        summary = (await r.json())["summary"]
+        assert summary["failed_segments"] >= 1  # crash failed the request
+
+        health = await (await client.get("/health")).json()
+        assert health["status"] == "degraded"
+
+        # wedged tick still stuck: serving stays degraded, requests error
+        if not eng._abandoned_tick.done():
+            form = FormData()
+            form.add_field("file", write_wav(_speech(1.0), SR), filename="t.wav")
+            r = await client.post("/transcribe/file?stream=false", data=form)
+            assert (await r.json())["summary"]["failed_segments"] >= 1
+            await asyncio.wait_for(
+                asyncio.shield(eng._abandoned_tick), timeout=10.0
+            )
+
+        # device "recovers": next request self-heals the engine
+        eng._tick = real_tick
+        eng.tick_stall_dump_s, eng.tick_stall_abort_s = dump_s, abort_s
+        form = FormData()
+        form.add_field("file", write_wav(_speech(1.0), SR), filename="t.wav")
+        r = await client.post("/transcribe/file?stream=false", data=form)
+        summary = (await r.json())["summary"]
+        assert summary["failed_segments"] == 0
+        assert summary["successful_segments"] >= 1
+
+        health = await (await client.get("/health")).json()
+        assert health["status"] == "ok"
+    finally:
+        # leave the module-scoped engine HEALTHY for later tests even if an
+        # assert above failed: restore the tick, drain the abandoned tick,
+        # and force a restart
+        eng._tick = real_tick
+        eng.tick_stall_dump_s, eng.tick_stall_abort_s = dump_s, abort_s
+        ab = eng._abandoned_tick
+        if ab is not None and not ab.done():
+            try:
+                await asyncio.wait_for(asyncio.shield(ab), timeout=10.0)
+            except Exception:
+                pass
+        if not eng.alive:
+            await eng.start()
+
+
 async def test_vad_config_validation(app, aiohttp_client):
     client = await aiohttp_client(app)
     r = await client.post("/vad/config", json={"threshold": 0.7})

@@ -16,7 +16,7 @@
  *   and then streaming transcription progress (50-100%) — fetch() cannot
  *   report upload progress.
  */
-import { t, release } from "/static/i18n.js";
+import { t, own, release } from "/static/i18n.js";
 
 const MAX_BYTES = 100 * 1024 * 1024;
 const COMPRESS_THRESHOLD = 10 * 1024 * 1024;
@@ -59,7 +59,16 @@ export class FileAnalyzer {
     this.el.btn.onclick = () => this.transcribe();
   }
 
+  /** Single-key status: stays i18n-owned across language toggles. */
+  statusKey(key, cls = "") {
+    own(this.el.status, key);
+    this.el.status.className = "status " + cls;
+  }
+
+  /** Composite status (progress %, error detail): runtime-owned; a
+   * language toggle must not clobber it. */
   status(msg, cls = "") {
+    release(this.el.status);
     this.el.status.textContent = msg;
     this.el.status.className = "status " + cls;
   }
@@ -67,7 +76,7 @@ export class FileAnalyzer {
   pick(file) {
     if (!file) return;
     if (file.size > MAX_BYTES) {
-      this.status(t("file_too_big"), "errline");
+      this.statusKey("file_too_big", "errline");
       return;
     }
     this.file = file;
@@ -89,7 +98,7 @@ export class FileAnalyzer {
       /\.wav$/i.test(file.name) || file.type === "audio/wav" ||
       file.type === "audio/x-wav";
     if (!isWav || file.size <= COMPRESS_THRESHOLD) return file;
-    this.status(t("compressing"));
+    this.statusKey("compressing");
     try {
       const raw = await file.arrayBuffer();
       const probe = new OfflineAudioContext(1, 1, TARGET_SR);
@@ -142,7 +151,7 @@ export class FileAnalyzer {
     this.el.progress.style.width = "0%";
 
     const upload = await this.compressIfLarge(this.file);
-    this.status(t("uploading"));
+    this.statusKey("uploading");
 
     const form = new FormData();
     form.append("file", upload, upload.name || this.file.name);
@@ -188,7 +197,7 @@ export class FileAnalyzer {
       };
       xhr.upload.onload = () => {
         this.el.progress.style.width = "50%";
-        this.status(t("transcribing"));
+        this.statusKey("transcribing");
       };
       xhr.onprogress = () => drain(false);
       xhr.onload = () => {
@@ -202,8 +211,8 @@ export class FileAnalyzer {
         }
         resolve();
       };
-      xhr.onerror = () => { this.status(t("upload_failed"), "errline"); resolve(); };
-      xhr.ontimeout = () => { this.status(t("timed_out"), "errline"); resolve(); };
+      xhr.onerror = () => { this.statusKey("upload_failed", "errline"); resolve(); };
+      xhr.ontimeout = () => { this.statusKey("timed_out", "errline"); resolve(); };
       xhr.send(form);
     });
     this.el.btn.disabled = false;
@@ -288,6 +297,6 @@ export class FileAnalyzer {
       c.innerHTML = `<div class="v">${v}</div><div class="k">${k}</div>`;
       this.el.cards.appendChild(c);
     }
-    this.status(msg.failed_segments ? t("done_errors") : t("done"));
+    this.statusKey(msg.failed_segments ? "done_errors" : "done");
   }
 }

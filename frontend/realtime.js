@@ -51,9 +51,17 @@ export class RealtimeChat {
     this.pingTimer = null;
   }
 
+  /** Single-key status: stays i18n-owned, so it re-translates on a
+   * mid-session language toggle (recording / stopped / connection lost). */
+  statusKey(key, cls = "") {
+    own(this.el.status, key);
+    this.el.status.className = "status " + cls;
+  }
+
+  /** Composite status (ids, counters, error detail): the runtime owns the
+   * string — a language toggle must not clobber it back to the static
+   * "disconnected" default. */
   status(msg, cls = "") {
-    // the runtime owns the status line from the first update: a language
-    // toggle must not reset a live status to the static "disconnected"
     release(this.el.status);
     this.el.status.textContent = msg;
     this.el.status.className = "status " + cls;
@@ -75,7 +83,7 @@ export class RealtimeChat {
   }
 
   async start() {
-    this.status(t("connecting"));
+    this.statusKey("connecting");
     await this.connect();
     this.stream = await navigator.mediaDevices.getUserMedia({
       audio: {
@@ -92,7 +100,7 @@ export class RealtimeChat {
     this.recording = true;
     own(this.el.startBtn, "stop"); // re-key: survives language toggles
     this.el.startBtn.className = "danger";
-    this.status(t("recording"));
+    this.statusKey("recording");
     this.pingTimer = setInterval(() => this.send({ type: "ping" }), 5000);
   }
 
@@ -110,7 +118,7 @@ export class RealtimeChat {
     own(this.el.startBtn, "start");
     this.el.startBtn.className = "primary";
     this.el.vu.style.width = "0%";
-    this.status(t("stopped"));
+    this.statusKey("stopped");
   }
 
   connect() {
@@ -137,7 +145,7 @@ export class RealtimeChat {
           setTimeout(() => this.connect().catch(() => {}),
                      1000 * this.reconnects); // linear backoff
         } else if (this.recording) {
-          this.status(t("connection_lost"), "errline");
+          this.statusKey("connection_lost", "errline");
           this.stop();
         }
       };

@@ -45,6 +45,7 @@ from __future__ import annotations
 import asyncio
 import logging
 import os as _os
+import threading
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -1066,10 +1067,14 @@ class BatchedEngine:
         # stop()/shutdown() (alive stays True — a cleanly stopped engine is
         # not a liveness failure)
         self._crashed = False
-        # the tick future the stall-abort walked away from, while its
-        # thread is (possibly still) stuck in the device runtime — start()
-        # refuses to spawn a new scheduler until it has finished
-        self._abandoned_tick = None
+        # thread-truth tick occupancy: incremented/decremented by the
+        # executor thread itself (_run_tick_guarded), so it stays correct
+        # even when the event loop that dispatched a wedged tick is gone.
+        # start() refuses to spawn a scheduler while a tick thread still
+        # owns pool state; the lock serializes that check against the
+        # thread's decrement + post-crash re-sweep.
+        self._tick_lock = threading.Lock()
+        self._tick_busy = 0
         # previous tick's unresolved device handles (pipelined scheduling)
         self._pending_results: Optional[dict] = None
         # overflow requests a full pool couldn't admit this tick
@@ -1246,23 +1251,11 @@ class BatchedEngine:
             # abort, or any scheduler exception) — a finished task can't
             # serve the queue, and without this a post-crash transcribe()
             # would enqueue against nobody and hang. _fail_pending already
-            # freed every slot/backlog/future in the scheduler's finally,
-            # so host state is clean; spawn a fresh scheduler (if the
-            # device runtime is still wedged it will crash again, bounded
-            # by the same tick-stall abort — the supervisor process
-            # restart stays the durable remedy).
-            ab = self._abandoned_tick
-            if ab is not None and not ab.done():
-                # the wedged tick's thread is STILL stuck in the device
-                # runtime and still owns pool state — a new scheduler
-                # would race it. Fail fast: the caller sees the same
-                # crashed-engine error, the supervisor restarts the
-                # process (the only remedy for a wedged runtime).
-                raise RuntimeError(
-                    "batcher crashed and the wedged device tick is still "
-                    "stuck; restart the process"
-                )
-            self._abandoned_tick = None
+            # freed every slot/backlog/queued/future in the scheduler's
+            # finally, so host state is clean; spawn a fresh scheduler (if
+            # the device runtime is still wedged it will crash again,
+            # bounded by the same tick-stall abort — the supervisor
+            # process restart stays the durable remedy).
             self._task = None
         if self._task is not None and getattr(self, "_loop", None) is not loop:
             # event loop changed (tests / restart): rebind queues and task
@@ -1272,17 +1265,32 @@ class BatchedEngine:
                 pass  # previous loop already closed
             self._task = None
         if self._task is None:
+            with self._tick_lock:
+                if self._tick_busy:
+                    # a wedged tick's thread is STILL stuck in the device
+                    # runtime and still owns pool state — a new scheduler
+                    # would race it. Fail fast and loud: the caller sees a
+                    # crashed-engine error, the supervisor restarts the
+                    # process (the only remedy for a persistent wedge).
+                    # Guarded on EVERY spawn path (post-crash, post-
+                    # shutdown, loop rebind) under the same lock the tick
+                    # thread holds while finishing, so the check cannot
+                    # race the thread's own teardown.
+                    raise RuntimeError(
+                        "batcher crashed and the wedged device tick is "
+                        "still stuck; restart the process"
+                    )
+                # a successful restart clears the crash flag: alive/_health
+                # must report the NEW scheduler's state, not the old one's
+                # epitaph (a liveness probe keyed to 'degraded' would
+                # otherwise restart-loop a healthy process forever)
+                self._crashed = False
             self._loop = loop
             self._requests = asyncio.Queue()
             self._vad_requests = asyncio.Queue()
             self._wake = asyncio.Event()
             self._pending_results = None  # stale handles die with the old loop
             self._running = True
-            # a successful restart clears the crash flag: alive/_health must
-            # report the NEW scheduler's state, not the old one's epitaph
-            # (a liveness probe keyed to 'degraded' would otherwise
-            # restart-loop a healthy process forever)
-            self._crashed = False
             self._task = asyncio.ensure_future(self._scheduler())
 
     async def transcribe(
@@ -2478,6 +2486,30 @@ class BatchedEngine:
     def _n_active(self) -> int:
         return sum(p.n_active for p in self.pools)
 
+    def _run_tick_guarded(self, vad_batch, ring_vad_batch) -> None:
+        """Executor entry for one tick. The busy counter is thread-truth:
+        it stays correct even if the event loop that dispatched a wedged
+        tick stops or closes (an asyncio future chained to a dead loop
+        never resolves, so loop-side state can't be trusted for this).
+        start() refuses to spawn a scheduler while it is non-zero.
+
+        If the scheduler crashed (stall abort) while this tick was stuck,
+        the tick kept mutating pool state after the crash handler's sweep —
+        it may have popped backlog requests and admitted them to slots,
+        orphaning their futures. Re-sweep on the way out, under the same
+        lock start() takes, so the sweep cannot clobber a scheduler that
+        already restarted (restart is only possible at busy==0, and a
+        restart clears _crashed before the next tick can observe it)."""
+        with self._tick_lock:
+            self._tick_busy += 1
+        try:
+            self._tick(vad_batch, ring_vad_batch)
+        finally:
+            with self._tick_lock:
+                self._tick_busy -= 1
+                if self._crashed:
+                    self._fail_pending(RuntimeError("batcher crashed"))
+
     def _run_replay_thunk(self, thunk) -> None:
         """One idle-tick warmup replay (device thread). Failures only cost
         the warmup benefit — the program itself stays registered and its
@@ -2528,7 +2560,7 @@ class BatchedEngine:
                     # RTT overlaps this tick's device execution (pipelined)
                     fut = loop.run_in_executor(
                         None,
-                        self._tick,
+                        self._run_tick_guarded,
                         vad_batch,
                         ring_vad_batch,
                     )
@@ -2567,24 +2599,19 @@ class BatchedEngine:
                             except asyncio.TimeoutError:
                                 waited += self.tick_stall_dump_s
                                 if waited >= self.tick_stall_abort_s:
-                                    # the abandoned tick thread keeps
-                                    # mutating pool state: it may have
-                                    # popped backlog requests and admitted
-                                    # them to slots AFTER the crash
-                                    # handler's sweep, orphaning their
-                                    # futures (callers hang). When it
-                                    # finally returns/raises, retrieve the
-                                    # exception silently (else asyncio
-                                    # logs 'never retrieved' into a dead
-                                    # engine) and re-sweep everything it
-                                    # re-materialized.
-                                    def _reap_abandoned(f):
-                                        f.exception()
-                                        self._fail_pending(
-                                            RuntimeError("batcher crashed")
-                                        )
-                                    fut.add_done_callback(_reap_abandoned)
-                                    self._abandoned_tick = fut
+                                    # retrieve the abandoned tick's
+                                    # eventual result silently: when the
+                                    # wedged thread finally returns or
+                                    # raises, asyncio would otherwise log
+                                    # 'exception was never retrieved' into
+                                    # a dead engine. (The thread's own
+                                    # teardown in _run_tick_guarded — not
+                                    # this loop-bound callback, which dies
+                                    # with the loop — handles the busy
+                                    # count and the post-crash re-sweep.)
+                                    fut.add_done_callback(
+                                        lambda f: f.exception()
+                                    )
                                     raise RuntimeError(
                                         f"device fetch wedged > {waited:.0f}"
                                         " s — abandoning the engine; "
@@ -2660,6 +2687,23 @@ class BatchedEngine:
         self._ring_backlog, self._host_backlog = [], []
         for req in backlogs:
             fail(req.future)
+        # requests still sitting in the intake queues (enqueued while the
+        # scheduler was blocked on a wedged tick and never drained into
+        # the backlogs) would otherwise be orphaned: the crash sweep
+        # missed them and a restart recreates _requests/_vad_requests,
+        # stranding the old entries forever. get_nowait from a non-loop
+        # thread is tolerable here: the scheduler that normally consumes
+        # these queues is already dead, and producers enqueue only after
+        # a successful start().
+        for q in (
+            self._requests, self._vad_requests,
+            self._ring_requests, self._vad_ring_requests,
+        ):
+            while True:
+                try:
+                    fail(q.get_nowait().future)
+                except asyncio.QueueEmpty:
+                    break
 
     def _tick(
         self,

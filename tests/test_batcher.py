@@ -635,19 +635,36 @@ class TestStallAbort:
             real_tick = eng._tick
             eng._tick = lambda *_a, **_k: _time.sleep(3.0)  # wedge
             try:
-                with pytest.raises(RuntimeError):
-                    await eng.transcribe(audio, SR, max_new_tokens=4)
+                # two concurrent requests: the first is admitted and fails
+                # via the slot sweep; the second is still sitting in the
+                # intake queue when the crash lands and must be failed by
+                # the queue drain (not silently orphaned by the restart's
+                # queue recreation — callers would hang forever)
+                f1 = asyncio.ensure_future(
+                    eng.transcribe(audio, SR, max_new_tokens=4)
+                )
+                await asyncio.sleep(0.05)
+                f2 = asyncio.ensure_future(
+                    eng.transcribe(audio, SR, max_new_tokens=4)
+                )
+                r1, r2 = await asyncio.gather(
+                    asyncio.wait_for(f1, 15), asyncio.wait_for(f2, 15),
+                    return_exceptions=True,
+                )
+                assert isinstance(r1, RuntimeError), r1
+                assert isinstance(r2, RuntimeError), r2  # queued: must fail
                 await asyncio.sleep(0)  # let the crashed task finish
                 assert eng.alive is False
                 # while the wedged tick thread is still stuck, restart must
                 # refuse (a new scheduler would race it on pool state)
-                assert eng._abandoned_tick is not None
-                if not eng._abandoned_tick.done():
+                if eng._tick_busy:
                     with pytest.raises(RuntimeError, match="still"):
                         await eng.start()
-                    await asyncio.wait_for(
-                        asyncio.shield(eng._abandoned_tick), timeout=10.0
-                    )
+                for _ in range(200):  # wait for the stuck thread to drain
+                    if not eng._tick_busy:
+                        break
+                    await asyncio.sleep(0.05)
+                assert not eng._tick_busy
                 eng._tick = real_tick  # "device recovered"
                 # restore real thresholds: the fresh scheduler's first tick
                 # compiles for seconds and must not trip the test's abort

@@ -41,6 +41,11 @@ def _used_keys() -> set[str]:
         src = _read(name)
         keys |= set(re.findall(r"\bt\(\s*[\"']([\w-]+)[\"']", src))
         keys |= set(re.findall(r"\bown\(\s*[^,]+,\s*[\"']([\w-]+)[\"']", src))
+        # statusKey("k") / statusKey(cond ? "a" : "b"): every quoted word
+        # in the first-arg expression is an i18n key
+        for m in re.finditer(r"\bstatusKey\(([^)]*)\)", src):
+            first_arg = m.group(1).split(",")[0]  # 2nd arg is a css class
+            keys |= set(re.findall(r"[\"']([\w-]+)[\"']", first_arg))
     html = _read("index.html")
     keys |= set(re.findall(r"data-i18n(?:-ph)?=\"([\w-]+)\"", html))
     return keys

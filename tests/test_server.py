@@ -154,14 +154,16 @@ async def test_crash_self_heals_through_serving(app, aiohttp_client):
         assert health["status"] == "degraded"
 
         # wedged tick still stuck: serving stays degraded, requests error
-        if not eng._abandoned_tick.done():
+        if eng._tick_busy:
             form = FormData()
             form.add_field("file", write_wav(_speech(1.0), SR), filename="t.wav")
             r = await client.post("/transcribe/file?stream=false", data=form)
             assert (await r.json())["summary"]["failed_segments"] >= 1
-            await asyncio.wait_for(
-                asyncio.shield(eng._abandoned_tick), timeout=10.0
-            )
+        for _ in range(200):  # wait for the stuck thread to drain
+            if not eng._tick_busy:
+                break
+            await asyncio.sleep(0.05)
+        assert not eng._tick_busy
 
         # device "recovers": next request self-heals the engine
         eng._tick = real_tick
@@ -181,12 +183,10 @@ async def test_crash_self_heals_through_serving(app, aiohttp_client):
         # and force a restart
         eng._tick = real_tick
         eng.tick_stall_dump_s, eng.tick_stall_abort_s = dump_s, abort_s
-        ab = eng._abandoned_tick
-        if ab is not None and not ab.done():
-            try:
-                await asyncio.wait_for(asyncio.shield(ab), timeout=10.0)
-            except Exception:
-                pass
+        for _ in range(200):
+            if not eng._tick_busy:
+                break
+            await asyncio.sleep(0.05)
         if not eng.alive:
             await eng.start()
 

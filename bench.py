@@ -526,7 +526,12 @@ def main():
         sys.exit(code)
 
     # ---- file phase (subprocess; its wedge cannot take the parent) ----
-    f_out = os.path.join(REPO, ".bench_file_phase.json")
+    # per-run unique phase paths: a timed-out child is ABANDONED alive (it
+    # holds a chip session; killing would wedge the runtime) — with a fixed
+    # path a stale child from a previous run could write its result AFTER a
+    # later run's child, and the later run would read the wrong numbers
+    # under the wrong flags
+    f_out = os.path.join(REPO, f".bench_file_phase.{os.getpid()}.json")
     f_res = br.run_phase(
         br.phase_cmd(script, "file", f_out, flags),
         f_out,
@@ -561,7 +566,7 @@ def main():
     # ---- stream phase (subprocess) ----
     stream_metrics = {}
     if "--no-streams" not in sys.argv:
-        s_out = os.path.join(REPO, ".bench_stream_phase.json")
+        s_out = os.path.join(REPO, f".bench_stream_phase.{os.getpid()}.json")
         s_res = br.run_phase(
             br.phase_cmd(script, "stream", s_out, flags),
             s_out,
@@ -573,7 +578,7 @@ def main():
             stream_metrics = {
                 "stream_error": f"stream phase {s_res['status']} after "
                                 f"{s_res.get('took_s')} s (child abandoned, "
-                                "not killed; see .bench_stream_phase.json.log)"
+                                f"not killed; see {s_out}.log)"
             }
 
     detail = {

@@ -75,8 +75,26 @@ const dict = {
   },
 };
 
+// localStorage throws SecurityError in storage-blocked browsers; a throw
+// here happens at module evaluation and would kill every importer (the
+// whole UI), so storage is best-effort only
+function storageGet(key) {
+  try {
+    return localStorage.getItem(key);
+  } catch {
+    return null;
+  }
+}
+function storageSet(key, val) {
+  try {
+    localStorage.setItem(key, val);
+  } catch {
+    /* persistence unavailable: the toggle still works for this page */
+  }
+}
+
 let lang =
-  localStorage.getItem("lang") ||
+  storageGet("lang") ||
   ((navigator.language || "").toLowerCase().startsWith("zh") ? "zh" : "en");
 
 export function t(key) {
@@ -89,7 +107,7 @@ export function getLang() {
 
 export function setLang(l) {
   lang = dict[l] ? l : "en";
-  localStorage.setItem("lang", lang);
+  storageSet("lang", lang);
   apply();
 }
 

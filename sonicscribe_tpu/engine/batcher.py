@@ -2666,8 +2666,18 @@ class BatchedEngine:
 
         def fail(fut: asyncio.Future) -> None:
             if fut is not None and not fut.done():
+                # re-check done() INSIDE the scheduled callback: the crash
+                # handler (loop thread) and the wedged tick's teardown
+                # re-sweep (executor thread) can both observe the same
+                # not-yet-failed future — set_exception is only applied
+                # when the loop runs the callback, so the outer check
+                # alone would let the second sweep raise InvalidStateError
+                # into the event loop mid-incident
+                def _set(fut=fut):
+                    if not fut.done():
+                        fut.set_exception(exc)
                 try:
-                    fut.get_loop().call_soon_threadsafe(fut.set_exception, exc)
+                    fut.get_loop().call_soon_threadsafe(_set)
                 except RuntimeError:
                     pass  # loop already closed; nothing is awaiting
 

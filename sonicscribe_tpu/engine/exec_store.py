@@ -45,6 +45,7 @@ import pickle
 import tempfile
 
 import jax
+import numpy as np
 
 logger = logging.getLogger(__name__)
 
@@ -159,6 +160,17 @@ class ExecRouter:
             # scatter binary crashing a later engine's first tick). One
             # block per key per process; validated keys skip it.
             jax.block_until_ready(out)
+            # block_until_ready alone is NOT enough on the remote-tunnel
+            # TPU backend: ops/compiles queue server-side and only real
+            # transfers synchronize (same property the warmup replays work
+            # around, batcher.py warmup docs) — so also pull ONE element
+            # of the first output leaf device->host. On XLA:CPU this is
+            # redundant and free; on the tunnel it drains the queue so a
+            # stale binary's deferred failure lands in this try, not in an
+            # unrelated downstream consumer.
+            leaves = jax.tree_util.tree_leaves(out)
+            if leaves:
+                np.asarray(jax.numpy.reshape(leaves[0], (-1,))[:1])
             self.unvalidated.discard(key)
             return out
         except Exception as e:

@@ -277,8 +277,21 @@ def main():
         if quick or "--cpu" in sys.argv
         else "MIXED_BENCH.json"
     )
-    with open(os.path.join(repo, name), "w") as f:
-        json.dump(results, f, indent=1)
+    path = os.path.join(repo, name)
+    # MERGE into the existing artifact (like bench_scale): a partial run
+    # (e.g. --int8dec-only) must update its own legs without dropping the
+    # other legs the README cites — a from-scratch rewrite did exactly
+    # that once (restored from git history, note_r5_restore)
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
     print(json.dumps({k: results[k] for k in results
                       if "decomposition" not in k}))
 
